@@ -1,0 +1,141 @@
+"""Configuration dataclasses mirroring the reference CLI surface.
+
+The reference exposes ~50 argparse flags (``/root/reference/train.py:296-361``)
+that flow into ``Splatter`` kwargs (``train.py:374-392``) and trainer
+behaviour.  Here the same knobs are grouped into two dataclasses:
+
+- :class:`SplatConfig` — scene / rendering model options
+  (``splatter.py:324-345`` constructor kwargs).
+- :class:`TrainConfig` — optimization schedule, losses, adaptive density
+  control, evaluation cadence (``train.py:296-361``).
+
+TPU-specific additions (capacities, chunk sizes, pallas toggles) live in
+:class:`SplatConfig` as well; they control static shapes and therefore
+recompilation buckets, something the CUDA reference never had to care about.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SplatConfig:
+    # --- scene / model options (reference splatter.py:324-345) ---
+    near: float = 0.3
+    use_sh_coeff: bool = False
+    render_weight_normalize: bool = False
+    opa_init_value: float = 0.3
+    scale_init_value: float = 1.0
+    tile_culling_method: str = "prob2"      # dist | prob | prob2
+    tile_culling_dist_thresh: float = 0.5
+    tile_culling_prob_thresh: float = 0.05
+    scale_activation: str = "abs"           # abs | exp
+    fast_drawing: bool = True
+    render_downsample: int = 4
+
+    # --- TPU static-shape controls (no CUDA equivalent) ---
+    # Maximum number of (gaussian, tile) intersection pairs emitted per
+    # gaussian.  The reference instead caps per-tile capacity at N//20
+    # (splatter.py:569) and silently drops overflow; we cap per-gaussian
+    # tile-bbox coverage, which bounds the padded pair buffer.
+    max_tiles_per_gaussian: int = 36
+    # Gaussian-chunk length processed per pallas grid step (the VMEM staging
+    # analogue of the reference's SMSIZE shared-memory chunks,
+    # gaussian.cu:998-1022).  Must be a multiple of 128 (TPU lanes).
+    chunk_size: int = 256
+    # Tile shape in pixels.  16x16 matches the reference block size
+    # (gaussian.cu:993-996); the pallas kernel flattens the 256 pixels into
+    # the sublane axis, so any (th, tw) with th*tw % 8 == 0 works.
+    tile_h: int = 16
+    tile_w: int = 16
+    # capacity bucketing: gaussian table capacity is rounded up to a multiple
+    # of this, so densification only recompiles when crossing a bucket edge.
+    capacity_round: int = 65536
+    # use the pallas kernel (False falls back to the pure-jnp tiled renderer,
+    # which is also the test oracle).
+    use_pallas: bool = True
+
+    @property
+    def tile_px(self) -> int:
+        return self.tile_h * self.tile_w
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # --- iteration counts (reference train.py:297-303) ---
+    n_iters: int = 7001
+    n_iters_warmup: int = 300
+    n_iters_test: int = 200
+    n_history_track: int = 100
+    n_save_train_img: int = 100
+    n_adaptive_control: int = 100
+    render_downsample_start: int = 4
+    render_downsample: int = 4
+
+    # --- learning rates (train.py:314-319) ---
+    lr: float = 0.003
+    lr_factor_for_scale: float = 1.0
+    lr_factor_for_rgb: float = 10.0
+    lr_factor_for_opa: float = 10.0
+    lr_factor_for_quat: float = 1.0
+    lr_decay: str = "exp"                   # none | official | exp
+
+    # --- densification / opacity reset (train.py:321-347) ---
+    delete_thresh: float = 1.5
+    n_opa_reset: int = 10000000
+    reset_interval: int = 500
+    split_thresh: float = 0.05
+    grad_accum_iters: int = 50
+    grad_accum_method: str = "max"          # mean | max
+    grad_thresh: float = 0.0002
+    use_clone: bool = False
+    use_split: bool = True
+    clone_dt: float = 0.01
+    grad_aggregation: str = "max"           # max | mean
+    adaptive_control_end_iter: int = 1000000000
+
+    # --- losses (train.py:325-329) ---
+    ssim_weight: float = 0.1
+    scale_reg: float = 0.0
+    opa_reg: float = 0.0
+
+    # --- misc ---
+    seed: int = 2023
+    exp: str = "default"
+    data: str = "colmap_garden/"
+    ckpt: Optional[str] = None
+    debug: bool = False
+
+    adam_b1: float = 0.9
+    adam_b2: float = 0.99                   # reference train.py:63 betas=(0.9, 0.99)
+    adam_eps: float = 1e-8
+
+    def lr_lambda(self, group: str, i_iter: int) -> float:
+        """Per-group LR multiplier, matching reference train.py:27-55.
+
+        Groups: opa, rgb, pos, scale, quat.
+        """
+        w = self.n_iters_warmup
+        if i_iter <= w:
+            return i_iter / w
+        if self.lr_decay == "none":
+            return 0.2 ** ((i_iter - w) // 2000)
+        gamma = 0.01 ** (1.0 / (self.n_iters - w))
+        if self.lr_decay == "official":
+            # only opa + pos decay (reference train.py:30-37)
+            if group in ("opa", "pos"):
+                return gamma ** (i_iter - w)
+            return 1.0
+        # "exp": every group decays (train.py:47-55)
+        return gamma ** (i_iter - w)
+
+    def group_lrs(self) -> dict:
+        return {
+            "opa": self.lr * self.lr_factor_for_opa,
+            "rgb": self.lr * self.lr_factor_for_rgb,
+            "pos": self.lr * 1.0,
+            "scale": self.lr * self.lr_factor_for_scale,
+            "quat": self.lr * self.lr_factor_for_quat,
+        }

@@ -1,0 +1,122 @@
+"""EWA projection + frustum culling, TPU-native.
+
+This replaces the reference's fused CUDA ``global_culling`` kernel
+(``src/gaussian.cu:1182-1369``) and its ~240-line hand-derived backward
+(``:1371-1609``).  On TPU the whole thing is a few fused VPU element-wise ops
+under ``jit``; JAX autodiff supplies the exact backward, including the
+quaternion→rotation chain the CUDA version differentiates by hand via
+coefficient matrices (``gaussian.cu:1535-1566``).
+
+Numerics mirror the reference exactly:
+- camera-space: p_c = R p_w + t                        (gaussian.cu:1150-1153)
+- image-space:  (x/z, y/z, ||p_c||)                    (gaussian.cu:1214-1217;
+  note depth is the Euclidean norm, not z)
+- near cull:    z <= near                              (gaussian.cu:1208)
+- frustum cull: |x_i| >= half_w or |y_i| >= half_h     (gaussian.cu:1220)
+- Σ3d = R S Sᵀ Rᵀ                                      (gaussian.cu:1259-1283)
+- J rows [1/z,0,-x/z²],[0,1/z,-y/z²],[x,y,z]/||p||      (gaussian.cu:1160-1174)
+- Σ2d = (J W) Σ3d (J W)ᵀ upper-left 2x2                (gaussian.cu:1287-1335)
+
+Instead of compacting survivors (dynamic shapes), everything stays padded at
+table capacity with a ``visible`` mask; downstream binning masks on it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.utils.so3 import quat_to_rotmat
+
+EPS = 1e-4  # reference splatter.py:19
+
+
+@jax.custom_jvp
+def trunc_exp(x):
+    """exp with gradient exp(clamp(x, -1, 1)) — reference renderer.py:91-102."""
+    return jnp.exp(x)
+
+
+@trunc_exp.defjvp
+def _trunc_exp_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return jnp.exp(x), dx * jnp.exp(jnp.clip(x, -1.0, 1.0))
+
+
+def activate_scale(scale: jnp.ndarray, scale_activation: str) -> jnp.ndarray:
+    """abs+eps or truncated exp (reference splatter.py:520-524)."""
+    if scale_activation == "abs":
+        return jnp.abs(scale) + EPS
+    if scale_activation == "exp":
+        return trunc_exp(scale)
+    raise ValueError(f"unknown scale activation {scale_activation!r}")
+
+
+class ProjectedGaussians(NamedTuple):
+    """Image-space gaussians, padded to table capacity."""
+
+    mean2d: jnp.ndarray   # (N, 2) image-plane position (x/z, y/z)
+    depth: jnp.ndarray    # (N,)   Euclidean camera-space distance ||p_c||
+    cov2d: jnp.ndarray    # (N, 4) flattened 2x2 EWA covariance (a, b, c, d)
+    visible: jnp.ndarray  # (N,)   bool frustum/near mask
+
+
+def project_gaussians(
+    pos: jnp.ndarray,
+    quat: jnp.ndarray,
+    scale: jnp.ndarray,
+    w2c_rot: jnp.ndarray,
+    w2c_tran: jnp.ndarray,
+    near: float,
+    half_width: float,
+    half_height: float,
+    scale_activation: str = "abs",
+) -> ProjectedGaussians:
+    """Project world-space gaussians into the image plane (EWA splatting).
+
+    Args mirror the reference autograd op (``renderer.py:121-132``); callers
+    pass raw parameters — quaternion normalization and the scale activation
+    happen here (reference does both at ``splatter.py:519-524`` before the
+    kernel call).  half_width/half_height carry the 1.2x frustum margin
+    (``splatter.py:532-533``).
+    """
+    quat = quat / (jnp.linalg.norm(quat, axis=-1, keepdims=True))
+    s = activate_scale(scale, scale_activation)
+
+    # world → camera
+    p_c = pos @ w2c_rot.T + w2c_tran  # (N, 3)
+    x, y, z = p_c[:, 0], p_c[:, 1], p_c[:, 2]
+    # guard z for masked-out points so 1/z stays finite
+    near_ok = z > near
+    zs = jnp.where(near_ok, z, 1.0)
+
+    xi = x / zs
+    yi = y / zs
+    norm = jnp.sqrt(x * x + y * y + z * z)
+    visible = near_ok & (jnp.abs(xi) < half_width) & (jnp.abs(yi) < half_height)
+
+    # Σ3d = (R S)(R S)ᵀ
+    R = quat_to_rotmat(quat)                       # (N, 3, 3)
+    RS = R * s[:, None, :]                         # scales columns: R @ diag(s)
+    cov3d = RS @ jnp.swapaxes(RS, 1, 2)            # (N, 3, 3)
+
+    # J W — projective jacobian times world rotation
+    inv_z = 1.0 / zs
+    zero = jnp.zeros_like(inv_z)
+    inv_norm = 1.0 / jnp.maximum(norm, 1e-12)
+    J = jnp.stack(
+        [
+            inv_z, zero, -x * inv_z * inv_z,
+            zero, inv_z, -y * inv_z * inv_z,
+            x * inv_norm, y * inv_norm, z * inv_norm,
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+    JW = J @ w2c_rot                               # (N, 3, 3)
+    cov2d_full = JW @ cov3d @ jnp.swapaxes(JW, 1, 2)
+    cov2d = cov2d_full[:, :2, :2].reshape(-1, 4)
+
+    mean2d = jnp.stack([xi, yi], axis=-1)
+    return ProjectedGaussians(mean2d=mean2d, depth=norm, cov2d=cov2d, visible=visible)

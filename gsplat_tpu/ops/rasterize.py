@@ -1,0 +1,554 @@
+"""Tiled alpha-compositing rasterizer: chunked jnp path + Pallas TPU kernels.
+
+This is the TPU re-design of the reference's hottest code, the forward /
+backward rasterizers (``src/gaussian.cu:807-970`` draw_kernel and
+``:441-803`` draw_backward_kernel).  The CUDA version assigns one 16x16
+thread block per tile, stages gaussian chunks into shared memory, and walks
+gaussians sequentially per pixel; gradients are reduced with warp shuffles +
+shared-memory atomics.
+
+The TPU formulation vectorizes over (pixel, gaussian) planes instead:
+
+- the image is processed as a 1-D grid over *chunks* of ``G`` gaussians,
+  chunk-aligned per tile by :mod:`gsplat_tpu.ops.binning`;
+- within a chunk the (Px, G) alpha plane is built with pixels on the sublane
+  axis and gaussians on the lane axis;
+- the sequential front-to-back transmittance recurrence becomes an
+  *exclusive cumulative product* of (1 - alpha) along the lane axis — a
+  log-depth Hillis-Steele scan of multiplies, no per-pixel loop;
+- per-gaussian color accumulation / gradient reduction are lane/sublane
+  reductions (and MXU matmuls in SH mode) — no atomics: each grid step owns
+  its chunk's gradient slice exclusively;
+- the backward pass re-derives per-gaussian weights from the saved forward
+  output using the same suffix-color identity as the CUDA kernel
+  (``gaussian.cu:709-722``), with cross-chunk transmittance/color carried in
+  VMEM scratch that persists across grid steps.
+
+Three interchangeable implementations share one contract:
+- :func:`composite_chunks_jnp` — lax.scan over chunks, differentiable via
+  JAX autodiff (fallback + oracle for the kernels);
+- :func:`composite_chunks_pallas` — pallas forward + custom_vjp backward.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsplat_tpu.ops.sh import sh_basis
+
+STOP_THRESH = 1e-4   # early-termination transmittance (gaussian.cu:906)
+DET_EPS = 1e-14      # gaussian.cu:920
+ALPHA_EPS = 1e-7     # backward 1/(1-alpha) guard (gaussian.cu:721)
+
+
+class RasterSpec(NamedTuple):
+    """Static rasterizer geometry (compile-time constants)."""
+
+    n_tile_x: int
+    n_tile_y: int
+    tile_h: int
+    tile_w: int
+    focal_x: float
+    focal_y: float
+    chunk_size: int          # G
+    color_dim: int           # 3 (rgb) or 27 (SH deg-2)
+    weight_normalize: bool = False
+
+    @property
+    def px(self) -> int:
+        return self.tile_h * self.tile_w
+
+    @property
+    def n_tiles(self) -> int:
+        return self.n_tile_x * self.n_tile_y
+
+    @property
+    def padded_w(self) -> int:
+        return self.n_tile_x * self.tile_w
+
+    @property
+    def padded_h(self) -> int:
+        return self.n_tile_y * self.tile_h
+
+    @property
+    def c_rows(self) -> int:
+        """Packed channel rows: x, y, cov(4), opa, colors — padded to 8."""
+        c = 7 + self.color_dim
+        return c + (-c % 8)
+
+
+# ---------------------------------------------------------------------------
+# shared geometry helpers
+# ---------------------------------------------------------------------------
+
+def _tile_pixel_ids(spec: RasterSpec, tile):
+    """Padded-image pixel ids for a (traced) tile index → (Px, 1) each."""
+    tx = tile % spec.n_tile_x
+    ty = tile // spec.n_tile_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (spec.px, 1), 0)
+    row = p // spec.tile_w
+    col = p - row * spec.tile_w
+    id_x = tx * spec.tile_w + col
+    id_y = ty * spec.tile_h + row
+    return id_x, id_y
+
+
+def _tile_pixel_coords(spec: RasterSpec, tile):
+    """Focal-normalized pixel centres (gaussian.cu:839-840) → (Px, 1) f32."""
+    id_x, id_y = _tile_pixel_ids(spec, tile)
+    pxc = (id_x.astype(jnp.float32) + 0.5 - spec.padded_w / 2) / spec.focal_x
+    pyc = (id_y.astype(jnp.float32) + 0.5 - spec.padded_h / 2) / spec.focal_y
+    return pxc, pyc
+
+
+def _sh_pixel_basis(spec: RasterSpec, tile, shv):
+    """Per-pixel SH basis (Px, 9) from RayInfo vectors (gaussian.cu:845-861).
+
+    ``shv`` is scalar-indexable as shv[row, col] with rows
+    [rays_o, lefttop, dx, dy] — either a (4, 3) array or an SMEM ref.  All
+    intermediates stay 2-D (Px, 1) for Mosaic compatibility.
+    """
+    from gsplat_tpu.ops.sh import C0, C1, C2
+
+    id_x, id_y = _tile_pixel_ids(spec, tile)
+    fx = id_x.astype(jnp.float32)
+    fy = id_y.astype(jnp.float32)
+    comps = []
+    for k in range(3):
+        comps.append(shv[1, k] + fx * shv[2, k] + fy * shv[3, k] - shv[0, k])
+    n = jnp.sqrt(comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2)
+    inv = 1.0 / (n + 1e-7)                                        # cu:858
+    x, y, z = comps[0] * inv, comps[1] * inv, comps[2] * inv      # (Px, 1)
+    xx, yy, zz = x * x, y * y, z * z
+    basis = [
+        jnp.full_like(x, C0),
+        -C1 * y,
+        C1 * z,
+        -C1 * x,
+        C2[0] * x * y,
+        C2[1] * y * z,
+        C2[2] * (2.0 * zz - xx - yy),
+        C2[3] * x * z,
+        C2[4] * (xx - yy),
+    ]
+    return jnp.concatenate(basis, axis=1)                         # (Px, 9)
+
+
+def _chunk_alpha(spec: RasterSpec, pxc, pyc, g):
+    """(Px, G) alpha plane from a packed (C, G) chunk.
+
+    Returns (alpha, prob, aux) where aux carries the per-chunk rows needed by
+    the backward pass.
+    """
+    gx, gy = g[0:1, :], g[1:2, :]
+    a, b, c, d = g[2:3, :], g[3:4, :], g[4:5, :], g[5:6, :]
+    opa = g[6:7, :]
+    dx = pxc - gx                                   # (Px, G)
+    dy = pyc - gy
+    det = a * d - b * c
+    pn = 2.0 * det + DET_EPS
+    pm = -(d * dx * dx - (b + c) * dx * dy + a * dy * dy)
+    prob = jnp.exp(pm / pn)
+    alpha = prob * opa
+    return alpha, prob, (dx, dy, a, b, c, d, opa, pm, pn)
+
+
+def _cumprod_excl_lanes(x):
+    """Exclusive cumulative product along the lane (last) axis.
+
+    Hillis-Steele doubling scan — log2(G) shift-multiplies, VPU friendly.
+    """
+    px_dim, g_dim = x.shape
+    cp = x
+    shift = 1
+    while shift < g_dim:
+        shifted = jnp.concatenate(
+            [jnp.ones((px_dim, shift), x.dtype), cp[:, :-shift]], axis=1
+        )
+        cp = cp * shifted
+        shift *= 2
+    # cp is now the inclusive cumprod; shift once more for exclusive
+    return jnp.concatenate([jnp.ones((px_dim, 1), x.dtype), cp[:, :-1]], axis=1)
+
+
+def _cumsum_incl_lanes(x):
+    """Inclusive cumulative sum along the lane axis (same doubling scan)."""
+    px_dim, g_dim = x.shape
+    cs = x
+    shift = 1
+    while shift < g_dim:
+        shifted = jnp.concatenate(
+            [jnp.zeros((px_dim, shift), x.dtype), cs[:, :-shift]], axis=1
+        )
+        cs = cs + shifted
+        shift *= 2
+    return cs
+
+
+def _chunk_colors(spec: RasterSpec, g, shb):
+    """Per-gaussian colors for a chunk: list of 3 arrays, (1, G) or (Px, G)."""
+    if spec.color_dim == 3:
+        return [g[7 + ch:8 + ch, :] for ch in range(3)]
+    cols = []
+    for ch in range(3):
+        coeff = g[7 + 9 * ch:7 + 9 * (ch + 1), :]   # (9, G)
+        logits = jax.lax.dot_general(
+            shb, coeff, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # (Px, G)
+        cols.append(jax.nn.sigmoid(logits))
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# chunked jnp implementation (differentiable fallback / kernel oracle)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
+                         sh_vecs=None):
+    """Chunk-sequential compositing with lax.scan.
+
+    Args:
+      packed: (C, S) channel-packed pair data (S = NC * G).
+      chunk_tile: (NC,) tile id per chunk.
+      chunk_first: (NC,) bool.
+      sh_vecs: (4, 3) [rays_o, lefttop, dx, dy] when color_dim == 27.
+
+    Returns (tiles_color (T+1, 3, Px), tiles_accw (T+1, Px)); row T is the
+    dead-chunk sentinel.
+    """
+    nc = chunk_tile.shape[0]
+    g_all = packed.reshape(spec.c_rows, nc, spec.chunk_size)
+    g_all = jnp.moveaxis(g_all, 1, 0)               # (NC, C, G)
+
+    def body(carry, inp):
+        accum = carry                               # (Px, 1)
+        g, tile, first = inp
+        accum = jnp.where(first, jnp.ones_like(accum), accum)
+        active = tile < spec.n_tiles
+        safe_tile = jnp.minimum(tile, spec.n_tiles - 1)
+        pxc, pyc = _tile_pixel_coords(spec, safe_tile)
+        alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
+        one_m = 1.0 - alpha
+        trans = _cumprod_excl_lanes(one_m) * accum
+        live = (trans >= STOP_THRESH) & active
+        w = jnp.where(live, alpha * trans, 0.0)
+        shb = _sh_pixel_basis(spec, safe_tile, sh_vecs) if spec.color_dim != 3 else None
+        cols = _chunk_colors(spec, g, shb)
+        color = jnp.concatenate(
+            [jnp.sum(w * c, axis=1, keepdims=True) for c in cols], axis=1
+        )                                           # (Px, 3)
+        accw = jnp.sum(w, axis=1, keepdims=True)
+        # frozen pixels (early-stopped) keep their transmittance, matching
+        # the CUDA per-pixel break (gaussian.cu:906)
+        new_accum = jnp.where(live[:, -1:],
+                              trans[:, -1:] * one_m[:, -1:], accum)
+        return new_accum, (color, accw)
+
+    init = jnp.ones((spec.px, 1), jnp.float32)
+    _, (colors, accws) = jax.lax.scan(body, init, (g_all, chunk_tile, chunk_first))
+    # (NC, Px, 3) / (NC, Px, 1) → per-tile sums
+    tiles_color = jax.ops.segment_sum(colors, chunk_tile, spec.n_tiles + 1)
+    tiles_accw = jax.ops.segment_sum(accws[..., 0], chunk_tile, spec.n_tiles + 1)
+    return jnp.moveaxis(tiles_color, 2, 1), tiles_accw
+
+
+def assemble_image(tiles_color, tiles_accw, spec: RasterSpec):
+    """(T+1, 3, Px) tile rows → (padded_h, padded_w, 3) image."""
+    col = tiles_color[:spec.n_tiles]                # (T, 3, Px)
+    if spec.weight_normalize:
+        accw = tiles_accw[:spec.n_tiles][:, None, :]
+        col = col / jnp.where(accw < 0.01, 1.0, accw)
+    img = col.reshape(spec.n_tile_y, spec.n_tile_x, 3, spec.tile_h, spec.tile_w)
+    img = img.transpose(0, 3, 1, 4, 2)
+    return img.reshape(spec.padded_h, spec.padded_w, 3)
+
+
+# ---------------------------------------------------------------------------
+# pallas kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(spec: RasterSpec,
+                ct_ref, cf_ref, cl_ref, shv_ref,
+                packed_ref, out_ref, accw_out_ref,
+                accum_ref, color_ref, accw_ref):
+    i = pl.program_id(0)
+    t = ct_ref[i]
+    first = cf_ref[i] != 0
+    last = cl_ref[i] != 0
+    active = t < spec.n_tiles
+
+    @pl.when(first)
+    def _():
+        accum_ref[:] = jnp.ones_like(accum_ref)
+        color_ref[:] = jnp.zeros_like(color_ref)
+        accw_ref[:] = jnp.zeros_like(accw_ref)
+
+    @pl.when(active)
+    def _():
+        pxc, pyc = _tile_pixel_coords(spec, t)
+        g = packed_ref[:]
+        alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
+        one_m = 1.0 - alpha
+        trans = _cumprod_excl_lanes(one_m) * accum_ref[:]
+        live = trans >= STOP_THRESH
+        w = jnp.where(live, alpha * trans, 0.0)
+        shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 else None
+        cols = _chunk_colors(spec, g, shb)
+        for ch in range(3):
+            color_ref[:, ch:ch + 1] += jnp.sum(w * cols[ch], axis=1,
+                                               keepdims=True)
+        accw_ref[:] += jnp.sum(w, axis=1, keepdims=True)
+        accum_ref[:] = jnp.where(live[:, -1:], trans[:, -1:] * one_m[:, -1:],
+                                 accum_ref[:])
+
+    @pl.when(last)
+    def _():
+        col = color_ref[:]                          # (Px, 8)
+        if spec.weight_normalize:
+            accw = accw_ref[:]
+            col = col / jnp.where(accw < 0.01, 1.0, accw)
+        out_ref[0] = col.T                          # (8, Px)
+        accw_out_ref[0] = accw_ref[:].T
+
+
+def _bwd_kernel(spec: RasterSpec,
+                ct_ref, cf_ref, cl_ref, shv_ref,
+                packed_ref, out_img_ref, grad_img_ref,
+                grad_packed_ref,
+                accum_ref, ccarry_ref, gout_ref, outp_ref):
+    i = pl.program_id(0)
+    t = ct_ref[i]
+    first = cf_ref[i] != 0
+    active = t < spec.n_tiles
+    px_dim, g_dim = spec.px, spec.chunk_size
+
+    @pl.when(first)
+    def _():
+        accum_ref[:] = jnp.ones_like(accum_ref)
+        ccarry_ref[:] = jnp.zeros_like(ccarry_ref)
+        gout_ref[:] = grad_img_ref[0].T             # (8, Px) → (Px, 8)
+        outp_ref[:] = out_img_ref[0].T
+
+    zeros_block = jnp.zeros((spec.c_rows, g_dim), jnp.float32)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        grad_packed_ref[:] = zeros_block
+
+    @pl.when(active)
+    def _():
+        pxc, pyc = _tile_pixel_coords(spec, t)
+        g = packed_ref[:]
+        alpha, prob, aux = _chunk_alpha(spec, pxc, pyc, g)
+        dx, dy, a, b, c, d, opa, pm, pn = aux
+        one_m = 1.0 - alpha
+        trans = _cumprod_excl_lanes(one_m) * accum_ref[:]
+        live = trans >= STOP_THRESH
+        w = jnp.where(live, alpha * trans, 0.0)
+        shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 else None
+        cols = _chunk_colors(spec, g, shb)
+
+        # suffix-color identity for d_alpha (gaussian.cu:709-722):
+        # d_alpha = Σ_c g_c·color_g,c·T_g − Σ_c g_c·(out_c − C_incl,c)/(1−α)
+        d_alpha = jnp.zeros((px_dim, g_dim), jnp.float32)
+        chunk_color_rows = []
+        for ch in range(3):
+            gout_c = gout_ref[:, ch:ch + 1]         # (Px, 1)
+            out_c = outp_ref[:, ch:ch + 1]
+            wc = w * cols[ch]
+            c_incl = ccarry_ref[:, ch:ch + 1] + _cumsum_incl_lanes(wc)
+            d_alpha += gout_c * cols[ch] * trans
+            d_alpha -= gout_c * (out_c - c_incl) / (one_m + ALPHA_EPS)
+            chunk_color_rows.append(jnp.sum(wc, axis=1, keepdims=True))
+        d_alpha = jnp.where(live, d_alpha, 0.0)
+
+        d_opa = jnp.sum(d_alpha * prob, axis=0, keepdims=True)      # (1, G)
+        d_prob = d_alpha * opa
+
+        # 2D-gaussian analytic gradients (gaussian.cu:610-634)
+        inv_pn2 = 1.0 / (pn * pn)
+        dp_da = prob * ((-dy * dy) * pn - (2.0 * d) * pm) * inv_pn2
+        dp_db = prob * ((dx * dy) * pn - (-2.0 * c) * pm) * inv_pn2
+        dp_dc = prob * ((dx * dy) * pn - (-2.0 * b) * pm) * inv_pn2
+        dp_dd = prob * ((-dx * dx) * pn - (2.0 * a) * pm) * inv_pn2
+        dp_dx = prob / pn * (2.0 * d * dx - (b + c) * dy)
+        dp_dy = prob / pn * (2.0 * a * dy - (b + c) * dx)
+
+        rows = [
+            jnp.sum(d_prob * dp_dx, axis=0, keepdims=True),
+            jnp.sum(d_prob * dp_dy, axis=0, keepdims=True),
+            jnp.sum(d_prob * dp_da, axis=0, keepdims=True),
+            jnp.sum(d_prob * dp_db, axis=0, keepdims=True),
+            jnp.sum(d_prob * dp_dc, axis=0, keepdims=True),
+            jnp.sum(d_prob * dp_dd, axis=0, keepdims=True),
+            d_opa,
+        ]
+        if spec.color_dim == 3:
+            for ch in range(3):
+                rows.append(jnp.sum(gout_ref[:, ch:ch + 1] * w, axis=0,
+                                    keepdims=True))
+        else:
+            for ch in range(3):
+                # d logits = g_c · w · σ(1−σ); d coeff = SHᵀ @ d logits
+                dlog = gout_ref[:, ch:ch + 1] * w * cols[ch] * (1.0 - cols[ch])
+                dcoef = jax.lax.dot_general(
+                    shb, dlog, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                   # (9, G)
+                rows.append(dcoef)
+        grad = jnp.concatenate(rows, axis=0)
+        pad = spec.c_rows - grad.shape[0]
+        if pad:
+            grad = jnp.concatenate(
+                [grad, jnp.zeros((pad, g_dim), jnp.float32)], axis=0)
+        grad_packed_ref[:] = grad
+
+        for ch in range(3):
+            ccarry_ref[:, ch:ch + 1] += chunk_color_rows[ch]
+        accum_ref[:] = jnp.where(live[:, -1:], trans[:, -1:] * one_m[:, -1:],
+                                 accum_ref[:])
+
+
+def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
+                       chunk_first, chunk_last, interpret=False):
+    nc = chunk_tile.shape[0]
+    n_rows = spec.n_tiles + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((spec.c_rows, spec.chunk_size), lambda i, *_: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
+            pl.BlockSpec((1, 1, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((spec.px, 1), jnp.float32),
+            pltpu.VMEM((spec.px, 8), jnp.float32),
+            pltpu.VMEM((spec.px, 1), jnp.float32),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows, 8, spec.px), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, 1, spec.px), jnp.float32),
+    ]
+    tiles, accw = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(chunk_tile, chunk_first.astype(jnp.int32), chunk_last.astype(jnp.int32),
+      sh_vecs, packed)
+    return tiles, accw[:, 0, :]
+
+
+def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
+                       chunk_first, chunk_last, out_tiles, grad_tiles,
+                       interpret=False):
+    nc = chunk_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((spec.c_rows, spec.chunk_size), lambda i, *_: (0, i)),
+            pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
+            pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((spec.c_rows, spec.chunk_size), lambda i, *_: (0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((spec.px, 1), jnp.float32),   # accum carry
+            pltpu.VMEM((spec.px, 8), jnp.float32),   # color carry (incl.)
+            pltpu.VMEM((spec.px, 8), jnp.float32),   # grad image (transposed)
+            pltpu.VMEM((spec.px, 8), jnp.float32),   # fwd output (transposed)
+        ],
+    )
+    (grad_packed,) = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(packed.shape, jnp.float32)],
+        interpret=interpret,
+    )(chunk_tile, chunk_first.astype(jnp.int32), chunk_last.astype(jnp.int32),
+      sh_vecs, packed, out_tiles, grad_tiles)
+    return grad_packed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _raster_pallas(spec: RasterSpec, interpret, packed, sh_vecs, chunk_tile,
+                   chunk_first, chunk_last):
+    tiles, accw = _raster_fwd_pallas(spec, packed, sh_vecs, chunk_tile,
+                                     chunk_first, chunk_last, interpret)
+    # row n_tiles is the dead-chunk sentinel; the kernel never writes it
+    return (tiles[:, :3, :].at[spec.n_tiles].set(0.0),
+            accw.at[spec.n_tiles].set(0.0))
+
+
+def _raster_pallas_fwd(spec, interpret, packed, sh_vecs, chunk_tile,
+                       chunk_first, chunk_last):
+    tiles, accw = _raster_fwd_pallas(spec, packed, sh_vecs, chunk_tile,
+                                     chunk_first, chunk_last, interpret)
+    res = (packed, sh_vecs, chunk_tile, chunk_first, chunk_last, tiles)
+    return (tiles[:, :3, :].at[spec.n_tiles].set(0.0),
+            accw.at[spec.n_tiles].set(0.0)), res
+
+
+def _raster_pallas_bwd(spec, interpret, res, grads):
+    if spec.weight_normalize:
+        raise NotImplementedError(
+            "pallas backward with weight_normalize — the reference never "
+            "trains with it either (train.py:377 passes False); use the jnp "
+            "path for that configuration."
+        )
+    packed, sh_vecs, chunk_tile, chunk_first, chunk_last, out_tiles = res
+    g_tiles, _g_accw = grads
+    n_rows = spec.n_tiles + 1
+    g_full = jnp.zeros((n_rows, 8, spec.px), jnp.float32)
+    g_full = g_full.at[:, :3, :].set(g_tiles)
+    grad_packed = _raster_bwd_pallas(
+        spec, packed, sh_vecs, chunk_tile, chunk_first, chunk_last,
+        out_tiles, g_full, interpret,
+    )
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (grad_packed, jnp.zeros_like(sh_vecs), f0(chunk_tile),
+            f0(chunk_first), f0(chunk_last))
+
+
+_raster_pallas.defvjp(_raster_pallas_fwd, _raster_pallas_bwd)
+
+
+def composite_chunks_pallas(packed, chunk_tile, chunk_first, chunk_last,
+                            spec: RasterSpec, sh_vecs=None, interpret=False):
+    """Pallas counterpart of :func:`composite_chunks_jnp` (same contract)."""
+    if sh_vecs is None:
+        sh_vecs = jnp.zeros((4, 3), jnp.float32)
+    chunk_first = chunk_first.astype(jnp.int32)
+    chunk_last = chunk_last.astype(jnp.int32)
+    return _raster_pallas(spec, interpret, packed, sh_vecs, chunk_tile,
+                          chunk_first, chunk_last)
+
+
+def rasterize(packed, binned, spec: RasterSpec, sh_vecs=None,
+              use_pallas=True, interpret=False):
+    """packed pairs + binning metadata → (padded_h, padded_w, 3) image."""
+    if use_pallas:
+        tiles_color, tiles_accw = composite_chunks_pallas(
+            packed, binned.chunk_tile, binned.chunk_first, binned.chunk_last,
+            spec, sh_vecs, interpret=interpret,
+        )
+    else:
+        tiles_color, tiles_accw = composite_chunks_jnp(
+            packed, binned.chunk_tile, binned.chunk_first, spec, sh_vecs,
+        )
+    return assemble_image(tiles_color, tiles_accw, spec)

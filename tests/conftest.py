@@ -1,0 +1,24 @@
+"""Test environment: 8 virtual CPU devices, pallas in interpret mode.
+
+Mirrors the driver's multichip dry-run environment; all kernels are validated
+on CPU with ``interpret=True`` and against pure-jnp oracles (the reference
+repo had no test suite at all — see SURVEY.md §4 — so the oracle-vs-kernel
+duality here replaces its ad-hoc torch-vs-CUDA cross-checks).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
