@@ -1,0 +1,259 @@
+"""Scene container + render pipeline orchestration (TPU-native Splatter).
+
+Parity target: reference ``Splatter`` (``splatter.py:323-655``) — COLMAP scene
+loading, gaussian init, per-camera state, and the
+project → cull → bin → sort → rasterize pipeline — re-shaped for XLA:
+
+- all cameras are stacked into device arrays once (poses, ray vectors,
+  padded ground-truth images) so a camera is selected *inside* jit by index,
+  instead of the reference's per-step host-side ``set_camera``
+  (``splatter.py:467-511``);
+- the whole forward is one jit-compatible function
+  :meth:`Splatter.render_padded`; there are no host syncs in the hot path;
+- static geometry (tile grid, binning/raster specs) is derived once per
+  (intrinsics, capacity) signature; densification growth re-derives specs on
+  a bucket boundary only.
+
+The reference's ``--cudaculling 0`` torch fallback (``splatter.py:543-560``)
+maps to ``use_pallas=False`` (chunked-jnp compositor).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.config import SplatConfig
+from gsplat_tpu.models.camera import TileGrid, ray_info
+from gsplat_tpu.models.gaussians import (
+    GaussianTable,
+    grow_capacity,
+    init_from_points,
+)
+from gsplat_tpu.ops.binning import BinningSpec, bin_gaussians, pack_pairs
+from gsplat_tpu.ops.projection import project_gaussians
+from gsplat_tpu.ops.rasterize import RasterSpec, rasterize
+from gsplat_tpu.utils.colmap import read_cameras_binary, read_images_binary, \
+    read_points3d_arrays
+from gsplat_tpu.utils.so3 import quat_to_rotmat_np
+
+
+@dataclass
+class SceneCameras:
+    """Stacked per-camera device arrays (single shared intrinsics)."""
+
+    w2c_rot: jnp.ndarray     # (M, 3, 3)
+    w2c_tran: jnp.ndarray    # (M, 3)
+    sh_vecs: jnp.ndarray     # (M, 4, 3) [rays_o, lefttop, dx, dy]
+    images: Optional[jnp.ndarray]  # (M, H, W, 3) uint8 ground truth
+    grid: TileGrid
+    names: list
+
+    @property
+    def n_cameras(self) -> int:
+        return self.w2c_rot.shape[0]
+
+
+def load_scene_cameras(colmap_path, image_path, render_downsample,
+                       tile_h=16, tile_w=16, load_images=True):
+    """COLMAP sparse dir + image dir → SceneCameras.
+
+    Mirrors ``Splatter.parse_imgs`` (splatter.py:429-454): images sorted by
+    COLMAP image id, skipped when the file is missing, poses built directly
+    from the COLMAP world→camera quaternion/translation.
+    """
+    import cv2
+
+    cameras = read_cameras_binary(os.path.join(colmap_path, "cameras.bin"))
+    images_info = read_images_binary(os.path.join(colmap_path, "images.bin"))
+
+    rots, trans, imgs, names = [], [], [], []
+    grid = None
+    for img_id in sorted(images_info.keys()):
+        info = images_info[img_id]
+        fn = os.path.join(image_path, info.name)
+        if load_images and not os.path.exists(fn):
+            continue
+        cam = cameras[info.camera_id]
+        w = int(cam.width / render_downsample)
+        h = int(cam.height / render_downsample)
+        fx = cam.params[0] / render_downsample
+        fy = cam.params[1] / render_downsample
+        if load_images:
+            im = cv2.cvtColor(cv2.imread(fn), cv2.COLOR_BGR2RGB)
+            h, w = im.shape[:2]
+            imgs.append(im)
+        g = TileGrid(width=w, height=h, focal_x=fx, focal_y=fy,
+                     tile_h=tile_h, tile_w=tile_w)
+        if grid is None:
+            grid = g
+        elif (g.width, g.height) != (grid.width, grid.height):
+            raise NotImplementedError(
+                "multi-intrinsics scenes not supported in the stacked-camera "
+                "fast path yet")
+        rots.append(quat_to_rotmat_np(info.qvec))
+        trans.append(info.tvec)
+        names.append(info.name)
+
+    shv = [np.stack(list(ray_info(r, t, grid.padded_height, grid.padded_width,
+                                  grid.focal_x, grid.focal_y).values()))
+           for r, t in zip(rots, trans)]
+    return SceneCameras(
+        w2c_rot=jnp.asarray(np.stack(rots), jnp.float32),
+        w2c_tran=jnp.asarray(np.stack(trans), jnp.float32),
+        sh_vecs=jnp.asarray(np.stack(shv), jnp.float32),
+        images=jnp.asarray(np.stack(imgs)) if imgs else None,
+        grid=grid,
+        names=names,
+    )
+
+
+def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
+               color_dim: int):
+    """Static binning + raster specs for a (grid, capacity) signature."""
+    method = cfg.tile_culling_method
+    if method == "dist":
+        thresh = (grid.tile_geo_length_x / cfg.tile_culling_dist_thresh) ** 2
+    else:
+        thresh = cfg.tile_culling_prob_thresh
+    # pair capacity: generous multiple of live gaussians, lane aligned
+    pair_cap = max(((capacity * 8) // 1024) * 1024, 4096)
+    bspec = BinningSpec(
+        n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
+        tile_len_x=grid.tile_geo_length_x, tile_len_y=grid.tile_geo_length_y,
+        leftmost=grid.leftmost, topmost=grid.topmost,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        pair_capacity=pair_cap,
+        chunk_size=cfg.chunk_size,
+        method=method,
+        thresh=thresh,
+    )
+    rspec = RasterSpec(
+        n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
+        tile_h=grid.tile_h, tile_w=grid.tile_w,
+        focal_x=grid.focal_x, focal_y=grid.focal_y,
+        chunk_size=cfg.chunk_size, color_dim=color_dim,
+        weight_normalize=cfg.render_weight_normalize,
+    )
+    return bspec, rspec
+
+
+def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
+                  grid: TileGrid, cfg: SplatConfig, bspec: BinningSpec,
+                  rspec: RasterSpec, interpret=False):
+    """Full differentiable forward: table params → padded image.
+
+    Composition of the reference stack ``project_and_culling`` → ``render``
+    (splatter.py:513-641) as one pure function.  Returns (image, aux) where
+    aux carries the visibility mask (the reference's ``culling_mask`` used
+    for gradient counting, train.py:150) and binning diagnostics.
+    """
+    proj = project_gaussians(
+        params["pos"], params["quat"], params["scale"],
+        w2c_rot, w2c_tran,
+        near=cfg.near,
+        half_width=grid.width * 1.2 / 2 / grid.focal_x,
+        half_height=grid.height * 1.2 / 2 / grid.focal_y,
+        scale_activation=cfg.scale_activation,
+    )
+    proj = proj._replace(visible=proj.visible & live)
+    binned = bin_gaussians(proj, bspec)
+    opa = jax.nn.sigmoid(params["opa"])
+    color = params["rgb"] if cfg.use_sh_coeff else jax.nn.sigmoid(params["rgb"])
+    packed = pack_pairs(binned, proj, opa, color)
+    img = rasterize(packed, binned, rspec,
+                    sh_vecs=sh_vecs if cfg.use_sh_coeff else None,
+                    use_pallas=cfg.use_pallas, interpret=interpret)
+    aux = {
+        "visible": proj.visible,
+        "n_pairs": binned.n_pairs,
+        "n_clipped": binned.n_clipped,
+    }
+    return img, aux
+
+
+def render_cropped(params, live, w2c_rot, w2c_tran, sh_vecs, grid, cfg,
+                   bspec, rspec, interpret=False):
+    """Padded render, clamped and centre-cropped (splatter.py:650-655)."""
+    img, aux = render_padded(params, live, w2c_rot, w2c_tran, sh_vecs, grid,
+                             cfg, bspec, rspec, interpret)
+    img = jnp.clip(img, 0.0, 1.0)
+    t, l = grid.crop_top, grid.crop_left
+    return jax.lax.dynamic_slice(
+        img, (t, l, 0), (grid.height, grid.width, 3)), aux
+
+
+class Splatter:
+    """Scene + model container (host-side orchestration).
+
+    Keyword parity with reference ``Splatter.__init__`` (splatter.py:324-345)
+    via :class:`SplatConfig`.
+    """
+
+    def __init__(self, colmap_path, image_path, cfg: SplatConfig,
+                 load_ckpt=None, test=False, capacity_round=None):
+        self.cfg = cfg
+        self.colmap_path = colmap_path
+        self.image_path = image_path
+        self.test_only = test
+
+        points, rgbs = read_points3d_arrays(
+            os.path.join(colmap_path, "points3D.bin"))
+        if load_ckpt is not None:
+            from gsplat_tpu.utils.checkpoint import load_checkpoint
+            self.table = load_checkpoint(load_ckpt,
+                                         capacity_round=cfg.capacity_round)
+        else:
+            self.table = init_from_points(
+                points, rgbs,
+                use_sh_coeff=cfg.use_sh_coeff,
+                opa_init_value=cfg.opa_init_value,
+                scale_init_value=cfg.scale_init_value,
+                scale_activation=cfg.scale_activation,
+                capacity_round=cfg.capacity_round,
+            )
+        self.cameras = load_scene_cameras(
+            colmap_path, image_path, cfg.render_downsample,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w, load_images=not test)
+        self._specs_cache = {}
+
+    @property
+    def color_dim(self) -> int:
+        return 27 if self.cfg.use_sh_coeff else 3
+
+    def specs(self, grid: TileGrid | None = None):
+        grid = grid or self.cameras.grid
+        key = (grid, self.table.capacity)
+        if key not in self._specs_cache:
+            self._specs_cache[key] = make_specs(
+                grid, self.table.capacity, self.cfg, self.color_dim)
+        return self._specs_cache[key]
+
+    def maybe_grow(self) -> bool:
+        """Grow table capacity if occupancy is high; True if grown."""
+        n = int(self.table.n_live)
+        if n > 0.88 * self.table.capacity:
+            self.table = grow_capacity(self.table, self.cfg.capacity_round)
+            return True
+        return False
+
+    def render(self, camera_id: int, interpret=None):
+        """Single-camera render (host convenience; jits per call-signature)."""
+        if interpret is None:
+            interpret = self.cfg.use_pallas and jax.default_backend() != "tpu"
+        grid = self.cameras.grid
+        bspec, rspec = self.specs(grid)
+        img, _ = render_cropped(
+            self.table.params(), self.table.live,
+            self.cameras.w2c_rot[camera_id], self.cameras.w2c_tran[camera_id],
+            self.cameras.sh_vecs[camera_id], grid, self.cfg, bspec, rspec,
+            interpret=interpret)
+        return img
+
+    def ground_truth(self, camera_id: int):
+        return self.cameras.images[camera_id].astype(jnp.float32) / 255.0

@@ -51,10 +51,11 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
         x = x[None].transpose(0, 3, 1, 2)  # (1, C, H, W)
         kh = jnp.tile(g.reshape(1, 1, kernel_size, 1), (c, 1, 1, 1))
         kw = jnp.tile(g.reshape(1, 1, 1, kernel_size), (c, 1, 1, 1))
+        hi = jax.lax.Precision.HIGHEST
         x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                         feature_group_count=c)
+                                         feature_group_count=c, precision=hi)
         x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
-                                         feature_group_count=c)
+                                         feature_group_count=c, precision=hi)
         return x[0].transpose(1, 2, 0)
 
     p = pred.astype(jnp.float32)

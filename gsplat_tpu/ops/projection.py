@@ -82,11 +82,14 @@ def project_gaussians(
     kernel call).  half_width/half_height carry the 1.2x frustum margin
     (``splatter.py:532-533``).
     """
+    # All matmuls here are tiny (3x3) but numerically load-bearing — force
+    # true f32 so TPU defaults don't round operands to bf16.
+    hi = jax.lax.Precision.HIGHEST
     quat = quat / (jnp.linalg.norm(quat, axis=-1, keepdims=True))
     s = activate_scale(scale, scale_activation)
 
     # world → camera
-    p_c = pos @ w2c_rot.T + w2c_tran  # (N, 3)
+    p_c = jnp.matmul(pos, w2c_rot.T, precision=hi) + w2c_tran  # (N, 3)
     x, y, z = p_c[:, 0], p_c[:, 1], p_c[:, 2]
     # guard z for masked-out points so 1/z stays finite
     near_ok = z > near
@@ -100,7 +103,7 @@ def project_gaussians(
     # Σ3d = (R S)(R S)ᵀ
     R = quat_to_rotmat(quat)                       # (N, 3, 3)
     RS = R * s[:, None, :]                         # scales columns: R @ diag(s)
-    cov3d = RS @ jnp.swapaxes(RS, 1, 2)            # (N, 3, 3)
+    cov3d = jnp.matmul(RS, jnp.swapaxes(RS, 1, 2), precision=hi)  # (N, 3, 3)
 
     # J W — projective jacobian times world rotation
     inv_z = 1.0 / zs
@@ -114,8 +117,10 @@ def project_gaussians(
         ],
         axis=-1,
     ).reshape(-1, 3, 3)
-    JW = J @ w2c_rot                               # (N, 3, 3)
-    cov2d_full = JW @ cov3d @ jnp.swapaxes(JW, 1, 2)
+    JW = jnp.matmul(J, w2c_rot, precision=hi)      # (N, 3, 3)
+    cov2d_full = jnp.matmul(
+        jnp.matmul(JW, cov3d, precision=hi), jnp.swapaxes(JW, 1, 2),
+        precision=hi)
     cov2d = cov2d_full[:, :2, :2].reshape(-1, 4)
 
     mean2d = jnp.stack([xi, yi], axis=-1)

@@ -203,6 +203,7 @@ def _chunk_colors(spec: RasterSpec, g, shb):
         logits = jax.lax.dot_general(
             shb, coeff, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                           # (Px, G)
         cols.append(jax.nn.sigmoid(logits))
     return cols
@@ -404,6 +405,7 @@ def _bwd_kernel(spec: RasterSpec,
                 dcoef = jax.lax.dot_general(
                     shb, dlog, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )                                   # (9, G)
                 rows.append(dcoef)
         grad = jnp.concatenate(rows, axis=0)

@@ -1,0 +1,93 @@
+"""Synthetic scenes for benchmarking and compile checks (no dataset needed).
+
+Gaussian statistics are tuned so tile binning produces realistic pair counts
+(a few tiles per gaussian), making the synthetic benchmark representative of
+the Garden-scene workload the reference reports numbers on (README.md:34-48,
+~506k gaussians at 1297x840).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from gsplat_tpu.models.camera import TileGrid, ray_info
+from gsplat_tpu.models.gaussians import GaussianTable
+from gsplat_tpu.ops.sh import initialize_sh
+from gsplat_tpu.utils.so3 import inverse_sigmoid, quat_to_rotmat_np
+
+
+def synthetic_table(n: int, capacity_round: int = 65536, use_sh=False,
+                    seed: int = 0, depth_range=(2.0, 8.0),
+                    frustum=(0.65, 0.45), scale_px=2.5, focal=1000.0,
+                    opa=0.5, headroom: float = 1.15) -> GaussianTable:
+    rng = np.random.default_rng(seed)
+    z = rng.uniform(*depth_range, n)
+    x = rng.uniform(-frustum[0], frustum[0], n) * z
+    y = rng.uniform(-frustum[1], frustum[1], n) * z
+    pos = np.stack([x, y, z], 1).astype(np.float32)
+    # world-space scale giving ~scale_px pixels on screen at given focal
+    scale = (rng.uniform(0.5, 1.5, (n, 3)) * scale_px * z[:, None]
+             / focal).astype(np.float32)
+    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    rgb01 = rng.uniform(0.05, 0.95, (n, 3))
+    rgb = (-np.log(1.0 / rgb01 - 1.0)).astype(np.float32)
+
+    cap = max(int(np.ceil(n * headroom / capacity_round)) * capacity_round,
+              capacity_round)
+
+    def pad(a, fill=0.0):
+        out = np.full((cap,) + a.shape[1:], fill, np.float32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    if use_sh:
+        rgb_j = np.asarray(initialize_sh(jnp.asarray(rgb)))
+        rgb_p = np.zeros((cap, 27), np.float32)
+        rgb_p[:n] = rgb_j
+        rgb_out = jnp.asarray(rgb_p)
+    else:
+        rgb_out = pad(rgb)
+    quat_p = np.zeros((cap, 4), np.float32)
+    quat_p[:, 0] = 1
+    quat_p[:n] = quat
+    live = np.zeros((cap,), bool)
+    live[:n] = True
+    return GaussianTable(
+        pos=pad(pos), rgb=rgb_out,
+        opa=pad(np.full((n,), inverse_sigmoid(opa), np.float32),
+                fill=inverse_sigmoid(1e-4)),
+        quat=jnp.asarray(quat_p), scale=pad(scale),
+        live=jnp.asarray(live), n_live=jnp.asarray(n, jnp.int32),
+    )
+
+
+def synthetic_cameras(m: int, width: int, height: int, focal: float,
+                      tile_h=16, tile_w=16, seed: int = 0,
+                      with_images=True):
+    """Ring of slightly perturbed cameras near the origin looking +z."""
+    rng = np.random.default_rng(seed)
+    grid = TileGrid(width=width, height=height, focal_x=focal, focal_y=focal,
+                    tile_h=tile_h, tile_w=tile_w)
+    rots, trans, shvs = [], [], []
+    for i in range(m):
+        angle = 0.05 * np.sin(2 * np.pi * i / max(m, 1))
+        q = np.array([np.cos(angle / 2), 0.0, np.sin(angle / 2), 0.0])
+        rot = quat_to_rotmat_np(q)
+        tran = np.array([0.05 * (i % 5 - 2), 0.03 * (i % 3 - 1), 0.0])
+        rots.append(rot)
+        trans.append(tran)
+        shvs.append(np.stack(list(ray_info(
+            rot, tran, grid.padded_height, grid.padded_width,
+            focal, focal).values())))
+    images = None
+    if with_images:
+        images = jnp.asarray(
+            rng.integers(0, 255, (m, height, width, 3), dtype=np.uint8))
+    return {
+        "w2c_rot": jnp.asarray(np.stack(rots), jnp.float32),
+        "w2c_tran": jnp.asarray(np.stack(trans), jnp.float32),
+        "sh_vecs": jnp.asarray(np.stack(shvs), jnp.float32),
+        "images": images,
+        "grid": grid,
+    }

@@ -1,0 +1,462 @@
+"""Trainer + CLI — parity with reference ``train.py`` (flags, schedules,
+losses, adaptive-control cadence), built TPU-first:
+
+- the whole train step (forward → loss → backward → Adam) is ONE jitted,
+  buffer-donated function; no host sync in the hot path (the reference
+  ``.item()``s every step for the tqdm bar, train.py:126-128 — here metrics
+  are fetched every ``--metrics_every`` steps because each host fetch costs a
+  full dispatch round-trip on TPU pods);
+- Adam is implemented in-line (dense, per-group LR multipliers passed as a
+  traced (5,) vector each step, so LR schedules never recompile); moments
+  and the bias-correction step counter reset at every densification,
+  matching the reference's brand-new-Adam-per-densify behaviour
+  (train.py:173-181);
+- adaptive density control runs as a separate donated jit on the padded
+  table (models/gaussians.py) on the same cadence flags as the reference
+  (train.py:87-91).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import os
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.config import SplatConfig, TrainConfig
+from gsplat_tpu.models.gaussians import (
+    DensifyStats,
+    adaptive_control,
+    reset_opacity,
+)
+from gsplat_tpu.models.splatter import Splatter, render_cropped
+from gsplat_tpu.ops.losses import l1_loss, psnr, ssim
+from gsplat_tpu.utils.checkpoint import save_checkpoint
+
+
+class AdamState(NamedTuple):
+    mu: dict
+    nu: dict
+    t: jnp.ndarray  # () int32 — steps since last (re)init
+
+
+def init_adam(params) -> AdamState:
+    z = jax.tree.map(jnp.zeros_like, params)
+    return AdamState(mu=z, nu=jax.tree.map(jnp.zeros_like, params),
+                     t=jnp.zeros((), jnp.int32))
+
+
+GROUP_ORDER = ("opa", "rgb", "pos", "scale", "quat")  # train.py:56-62
+
+
+def adam_update(params, grads, state: AdamState, lrs, b1, b2, eps):
+    """Dense Adam with per-group learning rates (lrs: (5,) traced)."""
+    t = state.t + 1
+    bc1 = 1.0 - b1 ** t.astype(jnp.float32)
+    bc2 = 1.0 - b2 ** t.astype(jnp.float32)
+    new_p, new_mu, new_nu = {}, {}, {}
+    for i, k in enumerate(GROUP_ORDER):
+        g = grads[k]
+        mu = b1 * state.mu[k] + (1 - b1) * g
+        nu = b2 * state.nu[k] + (1 - b2) * g * g
+        update = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+        new_p[k] = params[k] - lrs[i] * update
+        new_mu[k], new_nu[k] = mu, nu
+    return new_p, AdamState(mu=new_mu, nu=new_nu, t=t)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    live: jnp.ndarray
+    opt: AdamState
+    accum_grad: jnp.ndarray    # (N, 3) accumulated |pos grad|
+    grad_counter: jnp.ndarray  # (N,)   per-gaussian visibility counts
+
+
+def make_loss_fn(grid, cfg, tcfg: TrainConfig, bspec, rspec, interpret=False):
+    """Reusable loss closure: (params, live, rot, tran, shv, gt) →
+    (loss, (metrics, aux, img)).  Shared by the single-chip train step and
+    the data-parallel shard function."""
+    ssim_w = tcfg.ssim_weight
+
+    def loss_fn(params, live, rot, tran, shv, gt):
+        img, aux = render_cropped(params, live, rot, tran, shv, grid, cfg,
+                                  bspec, rspec, interpret)
+        l1 = l1_loss(img, gt)
+        if ssim_w > 0:
+            s = ssim(img, gt, data_range=1.0)
+            loss = (1 - ssim_w) * l1 + ssim_w * (1.0 - s)
+        else:
+            s = jnp.float32(1.0)
+            loss = l1
+        n_live = jnp.maximum(jnp.sum(live), 1)
+        if tcfg.scale_reg > 0:
+            loss += tcfg.scale_reg * jnp.sum(
+                jnp.abs(params["scale"]) * live[:, None]) / (3 * n_live)
+        if tcfg.opa_reg > 0:
+            op = jax.nn.sigmoid(params["opa"])
+            loss += tcfg.opa_reg * jnp.sum(
+                op * (1 - op) * live) / n_live
+        metrics = {"l1": l1, "ssim": s, "psnr": psnr(img, gt), "loss": loss}
+        return loss, (metrics, aux, img)
+
+    return loss_fn
+
+
+def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False):
+    """Build the jitted train step for the current (grid, capacity) specs."""
+    cfg = splat.cfg
+    grid = splat.cameras.grid
+    bspec, rspec = splat.specs()
+    b1, b2, eps = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps
+    loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, interpret)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(st: TrainState, cam_idx, lrs):
+        rot = splat.cameras.w2c_rot[cam_idx]
+        tran = splat.cameras.w2c_tran[cam_idx]
+        shv = splat.cameras.sh_vecs[cam_idx]
+        gt = splat.cameras.images[cam_idx].astype(jnp.float32) / 255.0
+        grads, (metrics, aux, _img) = jax.grad(
+            loss_fn, has_aux=True)(st.params, st.live, rot, tran, shv, gt)
+        new_params, new_opt = adam_update(st.params, grads, st.opt, lrs,
+                                          b1, b2, eps)
+        # gradient accumulation for densification (train.py:148-154)
+        pg = jnp.abs(grads["pos"])
+        if tcfg.grad_accum_method == "mean":
+            accum = st.accum_grad + pg
+            counter = st.grad_counter + aux["visible"].astype(jnp.float32)
+        else:  # max
+            accum = jnp.maximum(st.accum_grad, pg)
+            counter = jnp.ones_like(st.grad_counter)
+        metrics = dict(metrics, n_pairs=aux["n_pairs"],
+                       n_clipped=aux["n_clipped"],
+                       grad_mean={k: jnp.mean(jnp.abs(grads[k]))
+                                  for k in GROUP_ORDER})
+        return TrainState(new_params, st.live, new_opt, accum, counter), metrics
+
+    return train_step
+
+
+def make_eval_step(splat: Splatter, interpret=False):
+    cfg = splat.cfg
+    grid = splat.cameras.grid
+    bspec, rspec = splat.specs()
+
+    @jax.jit
+    def eval_step(params, live, cam_idx):
+        rot = splat.cameras.w2c_rot[cam_idx]
+        tran = splat.cameras.w2c_tran[cam_idx]
+        shv = splat.cameras.sh_vecs[cam_idx]
+        gt = splat.cameras.images[cam_idx].astype(jnp.float32) / 255.0
+        img, _ = render_cropped(params, live, rot, tran, shv, grid, cfg,
+                                bspec, rspec, interpret)
+        return img, psnr(img, gt), ssim(img, gt, data_range=1.0)
+
+    return eval_step
+
+
+class Trainer:
+    """Mirrors reference ``Trainer`` (train.py:16-291)."""
+
+    def __init__(self, splat: Splatter, tcfg: TrainConfig, interpret=None):
+        self.splat = splat
+        self.tcfg = tcfg
+        if interpret is None:
+            # pallas kernels only compile on TPU; elsewhere run interpreted
+            interpret = splat.cfg.use_pallas and jax.default_backend() != "tpu"
+        self.interpret = interpret
+        n_cam = splat.cameras.n_cameras
+        self.test_split = np.arange(0, n_cam, 8)          # train.py:68
+        self.train_split = np.array(
+            sorted(set(range(n_cam)) - set(self.test_split.tolist())))
+        self.rng = np.random.default_rng(tcfg.seed)
+        self.sample_rng = jax.random.PRNGKey(tcfg.seed)
+
+        self.state = TrainState(
+            params=splat.table.params(),
+            live=splat.table.live,
+            opt=init_adam(splat.table.params()),
+            accum_grad=jnp.zeros_like(splat.table.pos),
+            grad_counter=jnp.zeros(splat.table.capacity, jnp.float32),
+        )
+        self._train_step = make_train_step(splat, tcfg, interpret)
+        self._eval_step = make_eval_step(splat, interpret)
+        self.history = {"l1": [], "ssim": [], "psnr": []}
+
+    # ------------------------------------------------------------------
+    def lrs_at(self, i_iter: int) -> jnp.ndarray:
+        base = self.tcfg.group_lrs()
+        return jnp.asarray(
+            [base[g] * self.tcfg.lr_lambda(g, i_iter) for g in GROUP_ORDER],
+            jnp.float32)
+
+    def _sync_table_from_state(self):
+        """Write the optimizer-side params back into the splat table."""
+        self.splat.table = self.splat.table.with_params(
+            self.state.params)._replace(
+                live=self.state.live,
+                n_live=jnp.sum(self.state.live).astype(jnp.int32))
+
+    def _rebuild_after_capacity_change(self):
+        self._train_step = make_train_step(self.splat, self.tcfg,
+                                           self.interpret)
+        self._eval_step = make_eval_step(self.splat, self.interpret)
+
+    # ------------------------------------------------------------------
+    def train_step(self, i_iter: int):
+        t = self.tcfg
+        _reset_opa = i_iter % t.n_opa_reset == 0 and i_iter > 0
+        _in_reset = (i_iter >= t.n_opa_reset
+                     and i_iter % t.n_opa_reset < t.reset_interval)
+        _ac_delete = i_iter > 600 and i_iter % t.n_adaptive_control == 0
+        _ac = (i_iter > 600 and i_iter < t.adaptive_control_end_iter
+               and i_iter % t.n_adaptive_control == 0)
+        _accum_start = (i_iter > 600 and
+                        (i_iter + t.grad_accum_iters - 1)
+                        % t.n_adaptive_control == 0)
+
+        if _accum_start:
+            self.state = self.state._replace(
+                accum_grad=jnp.zeros_like(self.state.accum_grad),
+                grad_counter=jnp.zeros_like(self.state.grad_counter))
+
+        cam = int(self.rng.choice(self.train_split))
+        self.state, metrics = self._train_step(self.state, cam,
+                                               self.lrs_at(i_iter))
+
+        if _ac or _ac_delete:
+            self._densify(i_iter, _ac, _in_reset)
+
+        if _reset_opa:
+            self._sync_table_from_state()
+            self.splat.table = reset_opacity(self.splat.table)
+            self.state = self.state._replace(
+                params=self.splat.table.params())
+
+        return metrics
+
+    def _densify(self, i_iter, _ac, _in_reset):
+        t = self.tcfg
+        self._sync_table_from_state()
+        grad_avg = self.state.accum_grad / (
+            self.state.grad_counter[:, None] + 1e-3)
+        self.sample_rng, sub = jax.random.split(self.sample_rng)
+        use_clone = t.use_clone and _ac and not _in_reset
+        use_split = t.use_split and _ac and not _in_reset
+        new_table, stats = adaptive_control(
+            self.splat.table, grad_avg, sub,
+            taus=t.split_thresh, delete_thresh=t.delete_thresh,
+            grad_thresh=t.grad_thresh, clone_dt=t.clone_dt,
+            use_clone=jnp.asarray(use_clone), use_split=jnp.asarray(use_split),
+            scale_activation=self.splat.cfg.scale_activation,
+            grad_aggregation=t.grad_aggregation,
+        )
+        self.splat.table = new_table
+        if self.splat.maybe_grow():
+            self._rebuild_after_capacity_change()
+        tbl = self.splat.table
+        self.state = TrainState(
+            params=tbl.params(), live=tbl.live,
+            opt=init_adam(tbl.params()),          # new Adam (train.py:173)
+            accum_grad=jnp.zeros_like(tbl.pos),
+            grad_counter=jnp.zeros(tbl.capacity, jnp.float32),
+        )
+        if t.debug:
+            s = jax.device_get(stats)
+            print(f"[densify @{i_iter}] del={int(s.n_deleted)} "
+                  f"clone={int(s.n_cloned)} split={int(s.n_split)} "
+                  f"n_live={int(tbl.n_live)}")
+
+    # ------------------------------------------------------------------
+    def test(self, camera_id: int):
+        img, p, s = self._eval_step(self.state.params, self.state.live,
+                                    camera_id)
+        return {"image": img, "psnr": float(p), "ssim": float(s)}
+
+    def evaluate(self):
+        psnrs, ssims, elapsed = [], [], 0.0
+        for cid in self.test_split:
+            t0 = time.perf_counter()
+            out = self.test(int(cid))
+            elapsed += time.perf_counter() - t0
+            psnrs.append(out["psnr"])
+            ssims.append(out["ssim"])
+        return {
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+            "fps": len(self.test_split) / max(elapsed, 1e-9),
+        }
+
+    def save(self, path=None):
+        self._sync_table_from_state()
+        path = path or os.path.join(self.tcfg.exp, "ckpt.npz")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        save_checkpoint(self.splat.table, path)
+
+    # ------------------------------------------------------------------
+    def train(self, n_iters=None, metrics_every=20, log=print):
+        t = self.tcfg
+        n_iters = n_iters or t.n_iters
+        pending = []
+        t_start = time.perf_counter()
+        for i in range(n_iters):
+            metrics = self.train_step(i)
+            pending.append((i, metrics))
+            if i % metrics_every == 0 or i == n_iters - 1:
+                m = jax.device_get(pending[-1][1])
+                self.history["l1"].append(float(m["l1"]))
+                self.history["psnr"].append(float(m["psnr"]))
+                its = (i + 1) / (time.perf_counter() - t_start)
+                log(f"iter {i}: l1={float(m['l1']):.4f} "
+                    f"psnr={float(m['psnr']):.2f} "
+                    f"pairs={int(m['n_pairs'])} {its:.1f} it/s")
+                pending.clear()
+            if t.n_iters_test and i % t.n_iters_test == 0 and i > 0:
+                ev = self.evaluate()
+                log(f"TEST @{i}: psnr={ev['psnr']:.4f} ssim={ev['ssim']:.4f} "
+                    f"fps={ev['fps']:.1f}")
+            if t.n_save_train_img and i % t.n_save_train_img == 0 and i > 0:
+                self.save()
+        return self.history
+
+
+# ---------------------------------------------------------------------------
+# CLI (flag parity with reference train.py:296-361)
+# ---------------------------------------------------------------------------
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="TPU-native 3D gaussian splatting")
+    t = TrainConfig()
+    s = SplatConfig()
+    p.add_argument("--n_iters", type=int, default=t.n_iters)
+    p.add_argument("--n_iters_warmup", type=int, default=t.n_iters_warmup)
+    p.add_argument("--n_iters_test", type=int, default=t.n_iters_test)
+    p.add_argument("--n_history_track", type=int, default=t.n_history_track)
+    p.add_argument("--n_save_train_img", type=int, default=t.n_save_train_img)
+    p.add_argument("--n_adaptive_control", type=int,
+                   default=t.n_adaptive_control)
+    p.add_argument("--render_downsample_start", type=int, default=4)
+    p.add_argument("--render_downsample", type=int, default=4)
+    p.add_argument("--data", type=str, default=t.data)
+    p.add_argument("--scale_init_value", type=float, default=s.scale_init_value)
+    p.add_argument("--opa_init_value", type=float, default=s.opa_init_value)
+    p.add_argument("--tile_culling_method", type=str, default="prob2",
+                   choices=["dist", "prob", "prob2"])
+    p.add_argument("--tile_culling_dist_thresh", type=float, default=0.5)
+    p.add_argument("--tile_culling_prob_thresh", type=float, default=0.05)
+    p.add_argument("--lr", type=float, default=t.lr)
+    p.add_argument("--lr_factor_for_scale", type=float, default=1.0)
+    p.add_argument("--lr_factor_for_rgb", type=float, default=10.0)
+    p.add_argument("--lr_factor_for_opa", type=float, default=10.0)
+    p.add_argument("--lr_factor_for_quat", type=float, default=1.0)
+    p.add_argument("--lr_decay", type=str, default="exp",
+                   choices=["none", "official", "exp"])
+    p.add_argument("--delete_thresh", type=float, default=t.delete_thresh)
+    p.add_argument("--n_opa_reset", type=int, default=t.n_opa_reset)
+    p.add_argument("--reset_interval", type=int, default=t.reset_interval)
+    p.add_argument("--split_thresh", type=float, default=t.split_thresh)
+    p.add_argument("--ssim_weight", type=float, default=t.ssim_weight)
+    p.add_argument("--debug", type=int, default=0)
+    p.add_argument("--use_sh_coeff", type=int, default=0)
+    p.add_argument("--scale_reg", type=float, default=0.0)
+    p.add_argument("--opa_reg", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=t.seed)
+    p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--scale_activation", type=str, default="abs",
+                   choices=["abs", "exp"])
+    p.add_argument("--fast_drawing", type=int, default=1)
+    p.add_argument("--exp", type=str, default="default")
+    p.add_argument("--grad_accum_iters", type=int, default=t.grad_accum_iters)
+    p.add_argument("--grad_accum_method", type=str, default="max",
+                   choices=["mean", "max"])
+    p.add_argument("--grad_thresh", type=float, default=t.grad_thresh)
+    p.add_argument("--use_clone", type=int, default=0)
+    p.add_argument("--use_split", type=int, default=1)
+    p.add_argument("--clone_dt", type=float, default=t.clone_dt)
+    p.add_argument("--grad_aggregation", type=str, default="max",
+                   choices=["max", "mean"])
+    p.add_argument("--adaptive_control_end_iter", type=int,
+                   default=t.adaptive_control_end_iter)
+    # TPU-specific
+    p.add_argument("--use_pallas", type=int, default=1)
+    p.add_argument("--chunk_size", type=int, default=256)
+    p.add_argument("--max_tiles_per_gaussian", type=int, default=36)
+    p.add_argument("--capacity_round", type=int, default=65536,
+                   help="gaussian table capacity bucket (smaller for tiny "
+                        "scenes to avoid padded compute)")
+    p.add_argument("--metrics_every", type=int, default=20)
+    # GUI
+    p.add_argument("--gui", type=int, default=0)
+    p.add_argument("--test", type=int, default=0)
+    p.add_argument("--gui_port", type=int, default=6789)
+    return p
+
+
+def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
+    scfg = SplatConfig(
+        use_sh_coeff=bool(a.use_sh_coeff),
+        opa_init_value=a.opa_init_value,
+        scale_init_value=a.scale_init_value,
+        tile_culling_method=a.tile_culling_method,
+        tile_culling_dist_thresh=a.tile_culling_dist_thresh,
+        tile_culling_prob_thresh=a.tile_culling_prob_thresh,
+        scale_activation=a.scale_activation,
+        fast_drawing=bool(a.fast_drawing),
+        render_downsample=a.render_downsample,
+        max_tiles_per_gaussian=a.max_tiles_per_gaussian,
+        chunk_size=a.chunk_size,
+        use_pallas=bool(a.use_pallas),
+        capacity_round=a.capacity_round,
+    )
+    tcfg = TrainConfig(
+        n_iters=a.n_iters, n_iters_warmup=a.n_iters_warmup,
+        n_iters_test=a.n_iters_test, n_history_track=a.n_history_track,
+        n_save_train_img=a.n_save_train_img,
+        n_adaptive_control=a.n_adaptive_control,
+        render_downsample_start=a.render_downsample_start,
+        render_downsample=a.render_downsample,
+        lr=a.lr, lr_factor_for_scale=a.lr_factor_for_scale,
+        lr_factor_for_rgb=a.lr_factor_for_rgb,
+        lr_factor_for_opa=a.lr_factor_for_opa,
+        lr_factor_for_quat=a.lr_factor_for_quat, lr_decay=a.lr_decay,
+        delete_thresh=a.delete_thresh, n_opa_reset=a.n_opa_reset,
+        reset_interval=a.reset_interval, split_thresh=a.split_thresh,
+        grad_accum_iters=a.grad_accum_iters,
+        grad_accum_method=a.grad_accum_method, grad_thresh=a.grad_thresh,
+        use_clone=bool(a.use_clone), use_split=bool(a.use_split),
+        clone_dt=a.clone_dt, grad_aggregation=a.grad_aggregation,
+        adaptive_control_end_iter=a.adaptive_control_end_iter,
+        ssim_weight=a.ssim_weight, scale_reg=a.scale_reg, opa_reg=a.opa_reg,
+        seed=a.seed, exp=a.exp, data=a.data,
+        ckpt=a.ckpt or None, debug=bool(a.debug),
+    )
+    return scfg, tcfg
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    np.random.seed(args.seed)
+    scfg, tcfg = configs_from_args(args)
+    data_path = os.path.join(args.data, "sparse", "0")
+    img_path = os.path.join(args.data, f"images_{args.render_downsample_start}")
+    splat = Splatter(data_path, img_path, scfg, load_ckpt=tcfg.ckpt,
+                     test=bool(args.test))
+    if args.gui:
+        from gsplat_tpu.viewer import run_viewer
+
+        run_viewer(splat, port=args.gui_port)
+        return
+    trainer = Trainer(splat, tcfg)
+    trainer.train(metrics_every=args.metrics_every)
+    trainer.save()
+
+
+if __name__ == "__main__":
+    main()

@@ -8,12 +8,17 @@ duality here replaces its ad-hoc torch-vs-CUDA cross-checks).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The TPU tunnel environment force-registers its backend via sitecustomize
+# and JAX_PLATFORMS=axon; the config update below reliably overrides it.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
