@@ -53,6 +53,11 @@ class SplatConfig:
     # capacity bucketing: gaussian table capacity is rounded up to a multiple
     # of this, so densification only recompiles when crossing a bucket edge.
     capacity_round: int = 65536
+    # (gaussian, tile) pair buffer sizing: explicit capacity wins; otherwise
+    # pair_factor * table capacity.  The trainer retunes this from observed
+    # n_pairs (dead pair slots cost rasterizer grid steps).
+    pair_capacity: Optional[int] = None
+    pair_factor: float = 8.0
     # use the pallas kernel (False falls back to the pure-jnp tiled renderer,
     # which is also the test oracle).
     use_pallas: bool = True

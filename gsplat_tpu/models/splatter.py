@@ -121,8 +121,11 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         thresh = (grid.tile_geo_length_x / cfg.tile_culling_dist_thresh) ** 2
     else:
         thresh = cfg.tile_culling_prob_thresh
-    # pair capacity: generous multiple of live gaussians, lane aligned
-    pair_cap = max(((capacity * 8) // 1024) * 1024, 4096)
+    # pair capacity: explicit override, else a multiple of table capacity
+    if cfg.pair_capacity is not None:
+        pair_cap = max((cfg.pair_capacity // 1024) * 1024, 4096)
+    else:
+        pair_cap = max((int(capacity * cfg.pair_factor) // 1024) * 1024, 4096)
     bspec = BinningSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_len_x=grid.tile_geo_length_x, tile_len_y=grid.tile_geo_length_y,
@@ -228,11 +231,26 @@ class Splatter:
 
     def specs(self, grid: TileGrid | None = None):
         grid = grid or self.cameras.grid
-        key = (grid, self.table.capacity)
+        key = (grid, self.table.capacity, self.cfg.pair_capacity)
         if key not in self._specs_cache:
             self._specs_cache[key] = make_specs(
                 grid, self.table.capacity, self.cfg, self.color_dim)
         return self._specs_cache[key]
+
+    def retune_pair_capacity(self, n_pairs: int) -> bool:
+        """Resize the pair buffer toward observed occupancy.
+
+        Dead pair slots cost rasterizer grid steps, so the trainer feeds the
+        observed pair count back here at densification boundaries.  Returns
+        True when specs changed (recompile boundary).
+        """
+        bspec, _ = self.specs()
+        cap = bspec.pair_capacity
+        target = max((int(n_pairs * 2.0) // 1024 + 1) * 1024, 4096)
+        if cap < n_pairs * 1.3 or cap > target * 2:
+            self.cfg.pair_capacity = target
+            return True
+        return False
 
     def maybe_grow(self) -> bool:
         """Grow table capacity if occupancy is high; True if grown."""

@@ -230,6 +230,7 @@ class Trainer:
         cam = int(self.rng.choice(self.train_split))
         self.state, metrics = self._train_step(self.state, cam,
                                                self.lrs_at(i_iter))
+        self._last_metrics = metrics
 
         if _ac or _ac_delete:
             self._densify(i_iter, _ac, _in_reset)
@@ -259,7 +260,12 @@ class Trainer:
             grad_aggregation=t.grad_aggregation,
         )
         self.splat.table = new_table
-        if self.splat.maybe_grow():
+        grown = self.splat.maybe_grow()
+        retuned = False
+        if getattr(self, "_last_metrics", None) is not None:
+            retuned = self.splat.retune_pair_capacity(
+                int(self._last_metrics["n_pairs"]))
+        if grown or retuned:
             self._rebuild_after_capacity_change()
         tbl = self.splat.table
         self.state = TrainState(
