@@ -84,7 +84,7 @@ def make_dp_train_step(grid, cfg: SplatConfig, tcfg: TrainConfig, bspec,
         shard_fn, mesh=mesh,
         in_specs=(state_specs, cam_specs, P(axis), rep),
         out_specs=(state_specs, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 

@@ -81,6 +81,6 @@ def make_tile_sharded_render(grid: TileGrid, cfg, capacity: int,
         in_specs=({k: rep for k in ("pos", "rgb", "opa", "quat", "scale")},
                   rep, rep, rep, rep),
         out_specs=P(axis),                            # bands stack on axis 0
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
