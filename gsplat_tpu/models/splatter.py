@@ -252,6 +252,22 @@ class Splatter:
             return True
         return False
 
+    def switch_resolution(self, downsample_factor: int):
+        """Swap to a different image pyramid level (splatter.py:456-463):
+        replaces ``images_<old>`` with ``images_<new>`` in the image path and
+        reloads cameras/images.  No-op when already at the target factor."""
+        if downsample_factor == self.cfg.render_downsample:
+            return
+        old = self.cfg.render_downsample
+        self.image_path = self.image_path.replace(
+            f"images_{old}", f"images_{downsample_factor}")
+        self.cfg.render_downsample = downsample_factor
+        self.cameras = load_scene_cameras(
+            self.colmap_path, self.image_path, downsample_factor,
+            tile_h=self.cfg.tile_h, tile_w=self.cfg.tile_w,
+            load_images=not self.test_only)
+        self._specs_cache.clear()
+
     def maybe_grow(self) -> bool:
         """Grow table capacity if occupancy is high; True if grown."""
         n = int(self.table.n_live)

@@ -159,6 +159,7 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
         tcy = spec.topmost + (y0[g_of] + ky + 0.5) * spec.tile_len_y
         d2 = ((mean2d[g_of, 0] - tcx) ** 2 + (mean2d[g_of, 1] - tcy) ** 2)
         valid_pair = valid_pair & (d2 < spec.thresh)
+        n_pairs = jnp.sum(valid_pair)
     pair_tile = jnp.where(valid_pair, tile, T)
     pair_gauss = jnp.where(valid_pair, g_of, -1)
 

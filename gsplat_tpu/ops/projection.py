@@ -54,6 +54,33 @@ def activate_scale(scale: jnp.ndarray, scale_activation: str) -> jnp.ndarray:
     raise ValueError(f"unknown scale activation {scale_activation!r}")
 
 
+def world_to_camera(pos: jnp.ndarray, rot: jnp.ndarray,
+                    tran: jnp.ndarray) -> jnp.ndarray:
+    """p_c = R p_w + t for a batch of points (reference gaussian.cu:49-76
+    world2camera kernel; backward Rᵀg comes from autodiff)."""
+    return jnp.matmul(pos, rot.T, precision=jax.lax.Precision.HIGHEST) + tran
+
+
+def camera_to_image(p_c: jnp.ndarray) -> jnp.ndarray:
+    """(x/z, y/z, ||p||) image-space coords (reference splatter.py:29-35)."""
+    return jnp.stack(
+        [p_c[:, 0] / p_c[:, 2], p_c[:, 1] / p_c[:, 2],
+         jnp.linalg.norm(p_c, axis=-1)], axis=-1)
+
+
+def jacobian(p_c: jnp.ndarray) -> jnp.ndarray:
+    """Per-point projective Jacobian, rows [1/z,0,-x/z²],[0,1/z,-y/z²],
+    [x,y,z]/||p|| (reference gaussian.cu:10-47 / utils.py:335-342)."""
+    x, y, z = p_c[:, 0], p_c[:, 1], p_c[:, 2]
+    inv_z = 1.0 / z
+    zero = jnp.zeros_like(z)
+    inv_n = 1.0 / jnp.maximum(jnp.linalg.norm(p_c, axis=-1), 1e-12)
+    return jnp.stack(
+        [inv_z, zero, -x * inv_z * inv_z,
+         zero, inv_z, -y * inv_z * inv_z,
+         x * inv_n, y * inv_n, z * inv_n], axis=-1).reshape(-1, 3, 3)
+
+
 class ProjectedGaussians(NamedTuple):
     """Image-space gaussians, padded to table capacity."""
 

@@ -228,8 +228,18 @@ class Trainer:
                 grad_counter=jnp.zeros_like(self.state.grad_counter))
 
         cam = int(self.rng.choice(self.train_split))
-        self.state, metrics = self._train_step(self.state, cam,
-                                               self.lrs_at(i_iter))
+        if t.debug:
+            # host-side stage timing (TPU analogue of the reference's CUDA
+            # event Timer, utils.py:357-389) — forces a sync per step
+            from gsplat_tpu.utils.timer import StageTimer
+
+            with StageTimer("train_step") as st:
+                self.state, metrics = self._train_step(self.state, cam,
+                                                       self.lrs_at(i_iter))
+                st.set_sync(float(metrics["l1"]))
+        else:
+            self.state, metrics = self._train_step(self.state, cam,
+                                                   self.lrs_at(i_iter))
         self._last_metrics = metrics
 
         if _ac or _ac_delete:
@@ -324,12 +334,22 @@ class Trainer:
                     f"psnr={float(m['psnr']):.2f} "
                     f"pairs={int(m['n_pairs'])} {its:.1f} it/s")
                 pending.clear()
+            if (i == 400 and t.render_downsample_start
+                    != t.render_downsample):
+                # reference train.py:233-234: move to the target pyramid
+                # level after a coarse warm start
+                self.splat.switch_resolution(t.render_downsample)
+                self._rebuild_after_capacity_change()
             if t.n_iters_test and i % t.n_iters_test == 0 and i > 0:
                 ev = self.evaluate()
                 log(f"TEST @{i}: psnr={ev['psnr']:.4f} ssim={ev['ssim']:.4f} "
                     f"fps={ev['fps']:.1f}")
             if t.n_save_train_img and i % t.n_save_train_img == 0 and i > 0:
                 self.save()
+            if t.debug and i % 100 == 0 and i > 0:
+                from gsplat_tpu.utils.timer import StageTimer
+
+                StageTimer.show_recorder()
         return self.history
 
 
@@ -415,7 +435,9 @@ def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
         tile_culling_prob_thresh=a.tile_culling_prob_thresh,
         scale_activation=a.scale_activation,
         fast_drawing=bool(a.fast_drawing),
-        render_downsample=a.render_downsample,
+        # start at the warmup pyramid level; the trainer switches to
+        # render_downsample at iter 400 (reference train.py:233-234)
+        render_downsample=a.render_downsample_start,
         max_tiles_per_gaussian=a.max_tiles_per_gaussian,
         chunk_size=a.chunk_size,
         use_pallas=bool(a.use_pallas),
