@@ -37,10 +37,11 @@ class SplatConfig:
 
     # --- TPU static-shape controls (no CUDA equivalent) ---
     # Maximum number of (gaussian, tile) intersection pairs emitted per
-    # gaussian.  The reference instead caps per-tile capacity at N//20
-    # (splatter.py:569) and silently drops overflow; we cap per-gaussian
-    # tile-bbox coverage, which bounds the padded pair buffer.
-    max_tiles_per_gaussian: int = 36
+    # gaussian (the dense candidate-plane width).  The reference instead
+    # caps per-tile capacity at N//20 (splatter.py:569) and silently drops
+    # overflow; we cap per-gaussian tile-bbox coverage, which bounds the
+    # candidate sort.  n_clipped is tracked per step.
+    max_tiles_per_gaussian: int = 16
     # Gaussian-chunk length processed per pallas grid step (the VMEM staging
     # analogue of the reference's SMSIZE shared-memory chunks,
     # gaussian.cu:998-1022).  Must be a multiple of 128 (TPU lanes).
@@ -53,11 +54,12 @@ class SplatConfig:
     # capacity bucketing: gaussian table capacity is rounded up to a multiple
     # of this, so densification only recompiles when crossing a bucket edge.
     capacity_round: int = 65536
-    # (gaussian, tile) pair buffer sizing: explicit capacity wins; otherwise
-    # pair_factor * table capacity.  The trainer retunes this from observed
-    # n_pairs (dead pair slots cost rasterizer grid steps).
+    # Aligned-slot budget beyond the one-chunk-per-tile floor: explicit
+    # capacity wins; otherwise pair_factor * table capacity.  The trainer
+    # retunes this from observed n_pairs (dead pair slots cost rasterizer
+    # grid steps).
     pair_capacity: Optional[int] = None
-    pair_factor: float = 8.0
+    pair_factor: float = 3.0
     # use the pallas kernel (False falls back to the pure-jnp tiled renderer,
     # which is also the test oracle).
     use_pallas: bool = True

@@ -121,17 +121,20 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         thresh = (grid.tile_geo_length_x / cfg.tile_culling_dist_thresh) ** 2
     else:
         thresh = cfg.tile_culling_prob_thresh
-    # pair capacity: explicit override, else a multiple of table capacity
+    # chunk-aligned slot budget: every tile needs at least one chunk, plus
+    # room for the actual pairs (retuned from observed n_pairs)
+    g = cfg.chunk_size
+    floor = grid.n_tile_x * grid.n_tile_y * g
     if cfg.pair_capacity is not None:
-        pair_cap = max((cfg.pair_capacity // 1024) * 1024, 4096)
+        slot_cap = floor + ((int(cfg.pair_capacity) + g - 1) // g) * g
     else:
-        pair_cap = max((int(capacity * cfg.pair_factor) // 1024) * 1024, 4096)
+        slot_cap = floor + ((int(capacity * cfg.pair_factor) // g) + 1) * g
     bspec = BinningSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_len_x=grid.tile_geo_length_x, tile_len_y=grid.tile_geo_length_y,
         leftmost=grid.leftmost, topmost=grid.topmost,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-        pair_capacity=pair_cap,
+        slot_capacity=slot_cap,
         chunk_size=cfg.chunk_size,
         method=method,
         thresh=thresh,
@@ -238,16 +241,18 @@ class Splatter:
         return self._specs_cache[key]
 
     def retune_pair_capacity(self, n_pairs: int) -> bool:
-        """Resize the pair buffer toward observed occupancy.
+        """Resize the aligned-slot budget toward observed pair counts.
 
         Dead pair slots cost rasterizer grid steps, so the trainer feeds the
         observed pair count back here at densification boundaries.  Returns
         True when specs changed (recompile boundary).
         """
         bspec, _ = self.specs()
-        cap = bspec.pair_capacity
-        target = max((int(n_pairs * 2.0) // 1024 + 1) * 1024, 4096)
-        if cap < n_pairs * 1.3 or cap > target * 2:
+        g = self.cfg.chunk_size
+        floor = bspec.n_tiles * g
+        extra = bspec.slot_capacity - floor
+        target = max(int(n_pairs * 1.6), 4096)
+        if extra < n_pairs * 1.2 or extra > n_pairs * 3.0:
             self.cfg.pair_capacity = target
             return True
         return False

@@ -8,24 +8,35 @@ list (``gaussian.cu:337-381``), and depth-orders everything with one global
 (``splatter.py:608-613``).  The atomic appends are racy (check-then-add,
 ``gaussian.cu:244-247``) and non-deterministic in order.
 
-The TPU design replaces all of that with two sorts — fully deterministic,
-race-free, and XLA-native:
+The TPU design is shaped by one measured fact: on TPU, element-granularity
+gathers/scatters over multi-million-entry arrays cost ~7 ns/element, while
+sorts and dense broadcasts are fast.  So the pipeline is built from sorts,
+broadcasts and cumsums, with exactly ONE pair-scale gather on the forward
+path and ZERO scatters anywhere:
 
 1. argsort gaussians by depth (invisible → +inf);
-2. expand each gaussian's tile-bbox rectangle into up to ``K`` (gaussian,
-   tile) pairs scattered into a fixed-capacity pair buffer;
-3. one *stable* sort of the pair buffer by tile id.  Stability preserves the
-   depth order within each tile, so no fused key is needed.
+2. expand every gaussian into a dense (N, K) candidate-pair plane — tile
+   ids computed by broadcast arithmetic from the iso-probability ellipse
+   bbox (identical math to ``calc_tile_info_kernel3``,
+   ``gaussian.cu:197-250``); invalid candidates get a sentinel tile;
+3. one *stable* sort of the flattened plane by tile id (stability keeps the
+   depth order within each tile), carrying two payloads: the original
+   gaussian index (for channel packing) and the flat candidate index (for
+   the backward inverse map);
+4. per-tile segments from a (T+1)-query searchsorted; all chunk metadata is
+   computed at (num_chunks,) scale and *broadcast* to slots — never
+   gathered at slot scale;
+5. the gradient route back from chunk-aligned slots to gaussians is a pure
+   gather: a segment-wise cumsum builds each sorted pair's aligned slot, a
+   second sort inverts the permutation, and the (N, K, C) reduction over K
+   is a free reshape-sum (see ``pack_pairs``).  This replaces both the CUDA
+   warp-shuffle atomics (``gaussian.cu:676-772``) and a 380 ms XLA
+   scatter-add.
 
-The resulting per-tile segments are then padded to chunk multiples so the
-pallas rasterizer can run a uniform grid over chunks (the alignment padding
-plays the role of the reference's shared-memory staging loop bounds,
-``gaussian.cu:876-899``).
-
-Everything here is index bookkeeping under ``jit`` with static shapes; the
-only float math is the iso-probability ellipse bbox, identical to
-``calc_tile_info_kernel3`` (``gaussian.cu:197-250``):
-``shift_x = sqrt(Σ2d_xx · (-2 ln thresh))`` etc.
+The chunk-aligned slot buffer (``slot_capacity``) is sized independently of
+the candidate plane and retuned from observed pair counts by the trainer;
+its alignment padding plays the role of the reference's shared-memory
+staging loop bounds (``gaussian.cu:876-899``).
 """
 
 from __future__ import annotations
@@ -49,8 +60,8 @@ class BinningSpec(NamedTuple):
     tile_len_y: float
     leftmost: float
     topmost: float
-    max_tiles_per_gaussian: int   # K
-    pair_capacity: int            # P_max
+    max_tiles_per_gaussian: int   # K — candidate plane width
+    slot_capacity: int            # chunk-aligned pair slot budget (mult of G)
     chunk_size: int               # G
     method: str = "prob2"         # prob2 | prob | dist
     thresh: float = 0.05
@@ -61,8 +72,7 @@ class BinningSpec(NamedTuple):
 
     @property
     def num_chunks(self) -> int:
-        # worst case: every tile wastes one partial chunk
-        return self.pair_capacity // self.chunk_size + self.n_tiles
+        return self.slot_capacity // self.chunk_size
 
     @property
     def num_slots(self) -> int:
@@ -72,15 +82,18 @@ class BinningSpec(NamedTuple):
 class BinnedPairs(NamedTuple):
     """Chunk-aligned (gaussian, tile) intersection lists."""
 
-    order: jnp.ndarray        # (N,)  depth argsort permutation of the table
-    gather_idx: jnp.ndarray   # (S,)  per aligned slot: index into the
-                              #       depth-ORDERED arrays (clamped; see valid)
+    aligned_idx: jnp.ndarray  # (S,)  original gaussian index per slot
     slot_valid: jnp.ndarray   # (S,)  bool — slot holds a real pair
     chunk_tile: jnp.ndarray   # (NC,) tile id per chunk (n_tiles = unused)
     chunk_first: jnp.ndarray  # (NC,) bool — first chunk of its tile
     chunk_last: jnp.ndarray   # (NC,) bool — last chunk of its tile
+    slot_of_pair: jnp.ndarray  # (P,)  aligned slot of each (N,K) candidate,
+                               #       -1 for dead candidates (bwd route)
+    inv_order: jnp.ndarray     # (N,)  depth row of each original gaussian
+                               #       (inverse of the depth argsort)
     n_pairs: jnp.ndarray      # ()    total real pairs (diagnostic)
     n_clipped: jnp.ndarray    # ()    pairs dropped by the per-gaussian K cap
+    n_dropped: jnp.ndarray    # ()    pairs dropped by slot_capacity overflow
 
 
 def _tile_bbox(spec: BinningSpec, mean2d, cov2d, visible):
@@ -121,120 +134,167 @@ def _tile_bbox(spec: BinningSpec, mean2d, cov2d, visible):
 def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
     """Projected gaussians → chunk-aligned per-tile depth-sorted pair lists."""
     n = proj.depth.shape[0]
-    K, G, P = spec.max_tiles_per_gaussian, spec.chunk_size, spec.pair_capacity
+    K, G = spec.max_tiles_per_gaussian, spec.chunk_size
     T = spec.n_tiles
+    P = n * K
+    NC, S = spec.num_chunks, spec.num_slots
 
-    # ---- 1. depth order (front to back) -------------------------------
+    # ---- 1. depth order (front to back); one fused row gather ----------
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key).astype(jnp.int32)            # (N,)
-    mean2d = proj.mean2d[order]
-    cov2d = proj.cov2d[order]
-    visible = proj.visible[order]
+    inv_order = jnp.argsort(order).astype(jnp.int32)            # (N,)
+    packed_fields = jnp.concatenate(
+        [proj.mean2d, proj.cov2d,
+         proj.visible[:, None].astype(jnp.float32),
+         jnp.zeros((n, 1), jnp.float32)], axis=1)               # (N, 8)
+    ordered = jnp.take(packed_fields, order, axis=0)
+    mean2d, cov2d = ordered[:, :2], ordered[:, 2:6]
+    visible = ordered[:, 6] > 0.5
 
-    # ---- 2. bbox → pair expansion (run-length decode, no scatters) -----
-    # Each gaussian owns the pair-slot range [offsets[g], offsets[g]+count[g]);
-    # the inverse map slot→gaussian is a searchsorted over the (sorted)
-    # offsets with sorted queries arange(P).  This replaces the reference's
-    # atomicAdd appends (gaussian.cu:241-249) — and an earlier K-step
-    # masked-scatter loop that XLA:TPU executed ~30x slower.
+    # ---- 2. dense (N, K) candidate plane — broadcasts only -------------
     x0, y0, rw, rh = _tile_bbox(spec, mean2d, cov2d, visible)
     count = jnp.minimum(rw * rh, K)                              # (N,)
     n_clipped = jnp.sum(jnp.maximum(rw * rh - K, 0))
-    offsets = jnp.cumsum(count) - count                          # exclusive
-    n_pairs = jnp.minimum(offsets[-1] + count[-1], P)
-
-    sids = jnp.arange(P, dtype=jnp.int32)
-    g_of = jnp.searchsorted(offsets.astype(jnp.int32), sids, side="right",
-                            method="sort").astype(jnp.int32) - 1
-    g_of = jnp.clip(g_of, 0, n - 1)
-    k_of = sids - offsets[g_of]
-    valid_pair = sids < n_pairs
-    rw_g = jnp.maximum(rw[g_of], 1)
-    ky = k_of // rw_g
-    kx = k_of - ky * rw_g
-    tile = (x0[g_of] + kx) + (y0[g_of] + ky) * spec.n_tile_x
+    kk = jnp.arange(K, dtype=jnp.int32)[None, :]                 # (1, K)
+    rw_safe = jnp.maximum(rw, 1)[:, None]
+    ky = kk // rw_safe
+    kx = kk - ky * rw_safe
+    tile = (x0[:, None] + kx) + (y0[:, None] + ky) * spec.n_tile_x
+    valid = kk < count[:, None]                                  # (N, K)
     if spec.method == "dist":
         # refine: tile-centre distance test (gaussian.cu:124-128)
-        tcx = spec.leftmost + (x0[g_of] + kx + 0.5) * spec.tile_len_x
-        tcy = spec.topmost + (y0[g_of] + ky + 0.5) * spec.tile_len_y
-        d2 = ((mean2d[g_of, 0] - tcx) ** 2 + (mean2d[g_of, 1] - tcy) ** 2)
-        valid_pair = valid_pair & (d2 < spec.thresh)
-        n_pairs = jnp.sum(valid_pair)
-    pair_tile = jnp.where(valid_pair, tile, T)
-    pair_gauss = jnp.where(valid_pair, g_of, -1)
+        tcx = spec.leftmost + (x0[:, None] + kx + 0.5) * spec.tile_len_x
+        tcy = spec.topmost + (y0[:, None] + ky + 0.5) * spec.tile_len_y
+        d2 = ((mean2d[:, 0:1] - tcx) ** 2 + (mean2d[:, 1:2] - tcy) ** 2)
+        valid = valid & (d2 < spec.thresh)
+    n_pairs = jnp.sum(valid)
+    pair_tile = jnp.where(valid, tile, T).reshape(P)
+    pair_orig = jnp.broadcast_to(order[:, None], (n, K)).reshape(P)
+    flat = jax.lax.iota(jnp.int32, P)
 
     # ---- 3. stable sort by tile (preserves depth order per tile) -------
-    sorted_tile, sorted_gauss = jax.lax.sort(
-        (pair_tile, pair_gauss), num_keys=1, is_stable=True
-    )
+    sorted_tile, sorted_orig, sorted_flat = jax.lax.sort(
+        (pair_tile, pair_orig, flat), num_keys=1, is_stable=True)
 
-    # ---- 4. per-tile segments + chunk alignment ------------------------
-    starts = jnp.searchsorted(sorted_tile, jnp.arange(T + 1, dtype=jnp.int32))
+    # ---- 4. per-tile segments + chunk metadata (all at NC scale) -------
+    starts = jnp.searchsorted(sorted_tile,
+                              jnp.arange(T + 1, dtype=jnp.int32)
+                              ).astype(jnp.int32)                # (T+1,)
     counts = jnp.diff(starts)                                    # (T,)
     # Empty tiles still get one (all-dead) chunk so the rasterizer writes
     # zeros into their output rows — pallas out blocks are never pre-zeroed.
     nchunk_t = jnp.maximum((counts + G - 1) // G, 1)             # (T,)
-    chunk_cum = jnp.concatenate([jnp.zeros((1,), nchunk_t.dtype),
-                                 jnp.cumsum(nchunk_t)])          # (T+1,)
+    chunk_cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(nchunk_t).astype(jnp.int32)])
     nc_used = chunk_cum[-1]
+    n_dropped = jnp.maximum(nc_used - NC, 0)  # tiles past budget (in chunks)
 
-    NC = spec.num_chunks
     cids = jnp.arange(NC, dtype=jnp.int32)
     tile_of_chunk = jnp.clip(
         jnp.searchsorted(chunk_cum, cids, side="right") - 1, 0, T - 1
     ).astype(jnp.int32)
     chunk_used = cids < nc_used
     chunk_tile = jnp.where(chunk_used, tile_of_chunk, T)
-    chunk_within = cids - chunk_cum[tile_of_chunk].astype(jnp.int32)
+    chunk_within = cids - chunk_cum[tile_of_chunk]
     chunk_first = chunk_used & (chunk_within == 0)
     chunk_last = chunk_used & (chunk_within == nchunk_t[tile_of_chunk] - 1)
 
-    # ---- 5. aligned slot → sorted-pair gather map ----------------------
-    S = spec.num_slots
-    sids = jnp.arange(S, dtype=jnp.int32)
-    s_chunk = sids // G
-    s_off = sids - s_chunk * G
-    s_tile = tile_of_chunk[s_chunk]
-    src = starts[s_tile] + chunk_within[s_chunk] * G + s_off
-    slot_valid = chunk_used[s_chunk] & (src < starts[s_tile] + counts[s_tile])
-    src = jnp.clip(src, 0, P - 1)
-    gather_idx = jnp.where(slot_valid, sorted_gauss[src], 0)
-    # sorted_gauss can be -1 only for invalid pairs, which slot_valid excludes,
-    # but clamp defensively so downstream gathers stay in-bounds.
-    gather_idx = jnp.clip(gather_idx, 0, n - 1)
+    # ---- 5. aligned slots: broadcast src positions, ONE pair gather ----
+    base = starts[tile_of_chunk] + chunk_within * G              # (NC,)
+    end = starts[tile_of_chunk] + counts[tile_of_chunk]
+    gg = jnp.arange(G, dtype=jnp.int32)[None, :]
+    src = base[:, None] + gg                                     # (NC, G)
+    slot_valid = (chunk_used[:, None] & (src < end[:, None])).reshape(S)
+    src = jnp.clip(src.reshape(S), 0, P - 1)
+    aligned_idx = jnp.where(slot_valid, sorted_orig[src], 0)
+    aligned_idx = jnp.clip(aligned_idx, 0, n - 1)
+
+    # ---- 6. backward route: aligned slot of every candidate ------------
+    # For sorted position q in tile t's segment, the aligned slot is
+    # q + shift[t] with shift[t] = chunk_cum[t]*G - starts[t].  shift is
+    # piecewise constant over contiguous segments → build it with a tiny
+    # (T-sized) scatter-add of deltas and a cumsum, never a pair-scale
+    # gather.  A second sort by the flat payload inverts the tile sort.
+    shift = chunk_cum[:-1] * G - starts[:-1]                     # (T,)
+    shift_ext = jnp.concatenate([shift, jnp.full((1,), -P, jnp.int32)])
+    deltas = jnp.diff(jnp.concatenate([shift_ext[:1] * 0, shift_ext]))
+    delta_line = jnp.zeros((P,), jnp.int32).at[starts].add(
+        deltas, mode="drop")
+    shift_q = jnp.cumsum(delta_line)                             # (P,)
+    qs = jax.lax.iota(jnp.int32, P)
+    aligned_of_q = qs + shift_q
+    # sentinel segment (tile T) got shift -P → negative = dead
+    aligned_of_q = jnp.where(
+        (aligned_of_q >= 0) & (aligned_of_q < S), aligned_of_q, -1)
+    _, slot_of_pair = jax.lax.sort((sorted_flat, aligned_of_q), num_keys=1)
 
     return BinnedPairs(
-        order=order,
-        gather_idx=gather_idx,
+        aligned_idx=aligned_idx,
         slot_valid=slot_valid,
         chunk_tile=chunk_tile,
         chunk_first=chunk_first,
         chunk_last=chunk_last,
+        slot_of_pair=slot_of_pair,
+        inv_order=inv_order,
         n_pairs=n_pairs,
         n_clipped=n_clipped,
+        n_dropped=n_dropped,
     )
 
 
-def pack_pairs(binned: BinnedPairs, proj: ProjectedGaussians, opa, color):
-    """Gather per-pair channel data into the (C, S) packed layout.
+# ---------------------------------------------------------------------------
+# channel packing (with a gather-only custom backward)
+# ---------------------------------------------------------------------------
 
-    Channel rows: [x, y, cov_a, cov_b, cov_c, cov_d, opa, color...] padded to
-    a multiple of 8 rows.  One fused (S, C) row gather (wide rows keep the
-    TPU gather engine efficient) followed by a transpose.  Differentiable:
-    the VJP is a single row scatter-add — the pair→gaussian gradient
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gather_rows(chan, aligned_idx, slot_valid, slot_of_pair, inv_order,
+                 k_width):
+    rows = jnp.take(chan, aligned_idx, axis=0)
+    return rows * slot_valid[:, None].astype(rows.dtype)
+
+
+def _gather_rows_fwd(chan, aligned_idx, slot_valid, slot_of_pair, inv_order,
+                     k_width):
+    out = _gather_rows(chan, aligned_idx, slot_valid, slot_of_pair,
+                       inv_order, k_width)
+    return out, (chan.shape[0], aligned_idx, slot_valid, slot_of_pair,
+                 inv_order)
+
+
+def _gather_rows_bwd(k_width, res, g):
+    n, aligned_idx, slot_valid, slot_of_pair, inv_order = res
+    s = g.shape[0]
+    pair_ok = slot_of_pair >= 0
+    safe = jnp.clip(slot_of_pair, 0, s - 1)
+    gp = jnp.take(g, safe, axis=0) * pair_ok[:, None].astype(g.dtype)
+    # reduce candidates per DEPTH ROW, then permute back to original order
+    grad_rows = gp.reshape(n, k_width, g.shape[1]).sum(axis=1)
+    grad_chan = jnp.take(grad_rows, inv_order, axis=0)
+    import numpy as _np
+
+    z = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
+    return (grad_chan, z(aligned_idx), z(slot_valid), z(slot_of_pair),
+            z(inv_order))
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def pack_pairs(binned: BinnedPairs, proj: ProjectedGaussians, opa, color):
+    """Gather per-pair channel data into the (S, C) packed layout.
+
+    Channel columns: [x, y, cov_a, cov_b, cov_c, cov_d, opa, color...]
+    padded to a multiple of 8.  One fused (S, C) row gather; the backward is
+    gather-only (see module docstring) — the pair→gaussian gradient
     reduction the CUDA backward implements with warp shuffles + atomics
-    (``gaussian.cu:676-772``).
+    (``gaussian.cu:676-772``) becomes a (N, K, C) reshape-sum.
     """
-    # (N, C) channel table in original table order, columns padded to 8k
     c = 7 + color.shape[1]
     c_pad = -c % 8
     chan = jnp.concatenate(
         [proj.mean2d, proj.cov2d, opa[:, None], color]
         + ([jnp.zeros((opa.shape[0], c_pad), opa.dtype)] if c_pad else []),
         axis=1)                                        # (N, C_pad)
-    final_idx = binned.order[binned.gather_idx]        # compose both gathers
-    rows = jnp.take(chan, final_idx, axis=0)           # (S, C_pad)
-    # dead slots are zeroed entirely: alpha becomes 0 (opacity column) and
-    # no gradient flows back through them
-    rows = rows * binned.slot_valid[:, None].astype(rows.dtype)
-    return rows.T                                      # (C_pad, S)
+    k_width = binned.slot_of_pair.shape[0] // chan.shape[0]
+    return _gather_rows(chan, binned.aligned_idx, binned.slot_valid,
+                        binned.slot_of_pair, binned.inv_order, k_width)

@@ -7,24 +7,25 @@ thread block per tile, stages gaussian chunks into shared memory, and walks
 gaussians sequentially per pixel; gradients are reduced with warp shuffles +
 shared-memory atomics.
 
-The TPU formulation vectorizes over (pixel, gaussian) planes instead:
+The TPU formulation vectorizes over (gaussian, pixel) planes instead:
 
 - the image is processed as a 1-D grid over *chunks* of ``G`` gaussians,
   chunk-aligned per tile by :mod:`gsplat_tpu.ops.binning`;
-- within a chunk the (Px, G) alpha plane is built with pixels on the sublane
-  axis and gaussians on the lane axis;
+- within a chunk the (G, Px) alpha plane puts gaussians on the sublane axis
+  and the tile's pixels on the lane axis.  This orientation makes every data
+  movement free: per-gaussian channels are column slices of the (G, C)
+  packed block, per-pixel quantities are (1, Px) rows matching the output
+  layout, and gradient reductions land directly in (G, 1) columns of the
+  gradient block — no transposes, no atomics;
 - the sequential front-to-back transmittance recurrence becomes an
-  *exclusive cumulative product* of (1 - alpha) along the lane axis — a
-  log-depth Hillis-Steele scan of multiplies, no per-pixel loop;
-- per-gaussian color accumulation / gradient reduction are lane/sublane
-  reductions (and MXU matmuls in SH mode) — no atomics: each grid step owns
-  its chunk's gradient slice exclusively;
+  *exclusive cumulative product* of (1 - alpha) along the sublane axis — a
+  log-depth Hillis-Steele scan of multiplies;
 - the backward pass re-derives per-gaussian weights from the saved forward
   output using the same suffix-color identity as the CUDA kernel
   (``gaussian.cu:709-722``), with cross-chunk transmittance/color carried in
   VMEM scratch that persists across grid steps.
 
-Three interchangeable implementations share one contract:
+Two interchangeable implementations share one contract:
 - :func:`composite_chunks_jnp` — lax.scan over chunks, differentiable via
   JAX autodiff (fallback + oracle for the kernels);
 - :func:`composite_chunks_pallas` — pallas forward + custom_vjp backward.
@@ -33,16 +34,13 @@ Three interchangeable implementations share one contract:
 from __future__ import annotations
 
 import functools
-import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from gsplat_tpu.ops.sh import sh_basis
 
 STOP_THRESH = 1e-4   # early-termination transmittance (gaussian.cu:906)
 DET_EPS = 1e-14      # gaussian.cu:920
@@ -80,20 +78,20 @@ class RasterSpec(NamedTuple):
 
     @property
     def c_rows(self) -> int:
-        """Packed channel rows: x, y, cov(4), opa, colors — padded to 8."""
+        """Packed channel columns: x, y, cov(4), opa, colors — padded to 8."""
         c = 7 + self.color_dim
         return c + (-c % 8)
 
 
 # ---------------------------------------------------------------------------
-# shared geometry helpers
+# shared geometry helpers — (1, Px) row orientation
 # ---------------------------------------------------------------------------
 
 def _tile_pixel_ids(spec: RasterSpec, tile):
-    """Padded-image pixel ids for a (traced) tile index → (Px, 1) each."""
+    """Padded-image pixel ids for a (traced) tile index → (1, Px) each."""
     tx = tile % spec.n_tile_x
     ty = tile // spec.n_tile_x
-    p = jax.lax.broadcasted_iota(jnp.int32, (spec.px, 1), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, spec.px), 1)
     row = p // spec.tile_w
     col = p - row * spec.tile_w
     id_x = tx * spec.tile_w + col
@@ -102,7 +100,7 @@ def _tile_pixel_ids(spec: RasterSpec, tile):
 
 
 def _tile_pixel_coords(spec: RasterSpec, tile):
-    """Focal-normalized pixel centres (gaussian.cu:839-840) → (Px, 1) f32."""
+    """Focal-normalized pixel centres (gaussian.cu:839-840) → (1, Px) f32."""
     id_x, id_y = _tile_pixel_ids(spec, tile)
     pxc = (id_x.astype(jnp.float32) + 0.5 - spec.padded_w / 2) / spec.focal_x
     pyc = (id_y.astype(jnp.float32) + 0.5 - spec.padded_h / 2) / spec.focal_y
@@ -110,11 +108,10 @@ def _tile_pixel_coords(spec: RasterSpec, tile):
 
 
 def _sh_pixel_basis(spec: RasterSpec, tile, shv):
-    """Per-pixel SH basis (Px, 9) from RayInfo vectors (gaussian.cu:845-861).
+    """Per-pixel SH basis (9, Px) from RayInfo vectors (gaussian.cu:845-861).
 
     ``shv`` is scalar-indexable as shv[row, col] with rows
-    [rays_o, lefttop, dx, dy] — either a (4, 3) array or an SMEM ref.  All
-    intermediates stay 2-D (Px, 1) for Mosaic compatibility.
+    [rays_o, lefttop, dx, dy] — either a (4, 3) array or an SMEM ref.
     """
     from gsplat_tpu.ops.sh import C0, C1, C2
 
@@ -126,7 +123,7 @@ def _sh_pixel_basis(spec: RasterSpec, tile, shv):
         comps.append(shv[1, k] + fx * shv[2, k] + fy * shv[3, k] - shv[0, k])
     n = jnp.sqrt(comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2)
     inv = 1.0 / (n + 1e-7)                                        # cu:858
-    x, y, z = comps[0] * inv, comps[1] * inv, comps[2] * inv      # (Px, 1)
+    x, y, z = comps[0] * inv, comps[1] * inv, comps[2] * inv      # (1, Px)
     xx, yy, zz = x * x, y * y, z * z
     basis = [
         jnp.full_like(x, C0),
@@ -139,19 +136,19 @@ def _sh_pixel_basis(spec: RasterSpec, tile, shv):
         C2[3] * x * z,
         C2[4] * (xx - yy),
     ]
-    return jnp.concatenate(basis, axis=1)                         # (Px, 9)
+    return jnp.concatenate(basis, axis=0)                         # (9, Px)
 
 
 def _chunk_alpha(spec: RasterSpec, pxc, pyc, g):
-    """(Px, G) alpha plane from a packed (C, G) chunk.
+    """(G, Px) alpha plane from a packed (G, C) chunk.
 
-    Returns (alpha, prob, aux) where aux carries the per-chunk rows needed by
-    the backward pass.
+    Returns (alpha, prob, aux) where aux carries the per-chunk columns
+    needed by the backward pass.
     """
-    gx, gy = g[0:1, :], g[1:2, :]
-    a, b, c, d = g[2:3, :], g[3:4, :], g[4:5, :], g[5:6, :]
-    opa = g[6:7, :]
-    dx = pxc - gx                                   # (Px, G)
+    gx, gy = g[:, 0:1], g[:, 1:2]                   # (G, 1)
+    a, b, c, d = g[:, 2:3], g[:, 3:4], g[:, 4:5], g[:, 5:6]
+    opa = g[:, 6:7]
+    dx = pxc - gx                                   # (G, Px)
     dy = pyc - gy
     det = a * d - b * c
     pn = 2.0 * det + DET_EPS
@@ -161,32 +158,34 @@ def _chunk_alpha(spec: RasterSpec, pxc, pyc, g):
     return alpha, prob, (dx, dy, a, b, c, d, opa, pm, pn)
 
 
-def _cumprod_excl_lanes(x):
-    """Exclusive cumulative product along the lane (last) axis.
+def _cumprod_excl_sublanes(x):
+    """Exclusive cumulative product along the sublane (first) axis.
 
-    Hillis-Steele doubling scan — log2(G) shift-multiplies, VPU friendly.
+    Hillis-Steele doubling scan — log2(G) shift-multiplies; sublane shifts
+    are cheap on the VPU.
     """
-    px_dim, g_dim = x.shape
+    g_dim, px_dim = x.shape
     cp = x
     shift = 1
     while shift < g_dim:
         shifted = jnp.concatenate(
-            [jnp.ones((px_dim, shift), x.dtype), cp[:, :-shift]], axis=1
+            [jnp.ones((shift, px_dim), x.dtype), cp[:-shift, :]], axis=0
         )
         cp = cp * shifted
         shift *= 2
     # cp is now the inclusive cumprod; shift once more for exclusive
-    return jnp.concatenate([jnp.ones((px_dim, 1), x.dtype), cp[:, :-1]], axis=1)
+    return jnp.concatenate([jnp.ones((1, px_dim), x.dtype), cp[:-1, :]],
+                           axis=0)
 
 
-def _cumsum_incl_lanes(x):
-    """Inclusive cumulative sum along the lane axis (same doubling scan)."""
-    px_dim, g_dim = x.shape
+def _cumsum_incl_sublanes(x):
+    """Inclusive cumulative sum along the sublane axis (same doubling scan)."""
+    g_dim, px_dim = x.shape
     cs = x
     shift = 1
     while shift < g_dim:
         shifted = jnp.concatenate(
-            [jnp.zeros((px_dim, shift), x.dtype), cs[:, :-shift]], axis=1
+            [jnp.zeros((shift, px_dim), x.dtype), cs[:-shift, :]], axis=0
         )
         cs = cs + shifted
         shift *= 2
@@ -194,17 +193,17 @@ def _cumsum_incl_lanes(x):
 
 
 def _chunk_colors(spec: RasterSpec, g, shb):
-    """Per-gaussian colors for a chunk: list of 3 arrays, (1, G) or (Px, G)."""
+    """Per-gaussian colors for a chunk: list of 3 arrays, (G, 1) or (G, Px)."""
     if spec.color_dim == 3:
-        return [g[7 + ch:8 + ch, :] for ch in range(3)]
+        return [g[:, 7 + ch:8 + ch] for ch in range(3)]
     cols = []
     for ch in range(3):
-        coeff = g[7 + 9 * ch:7 + 9 * (ch + 1), :]   # (9, G)
+        coeff = g[:, 7 + 9 * ch:7 + 9 * (ch + 1)]   # (G, 9)
         logits = jax.lax.dot_general(
-            shb, coeff, (((1,), (0,)), ((), ())),
+            coeff, shb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )                                           # (Px, G)
+        )                                           # (G, Px)
         cols.append(jax.nn.sigmoid(logits))
     return cols
 
@@ -219,7 +218,7 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
     """Chunk-sequential compositing with lax.scan.
 
     Args:
-      packed: (C, S) channel-packed pair data (S = NC * G).
+      packed: (S, C) channel-packed pair data (S = NC * G).
       chunk_tile: (NC,) tile id per chunk.
       chunk_first: (NC,) bool.
       sh_vecs: (4, 3) [rays_o, lefttop, dx, dy] when color_dim == 27.
@@ -228,11 +227,10 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
     dead-chunk sentinel.
     """
     nc = chunk_tile.shape[0]
-    g_all = packed.reshape(spec.c_rows, nc, spec.chunk_size)
-    g_all = jnp.moveaxis(g_all, 1, 0)               # (NC, C, G)
+    g_all = packed.reshape(nc, spec.chunk_size, spec.c_rows)
 
     def body(carry, inp):
-        accum = carry                               # (Px, 1)
+        accum = carry                               # (1, Px)
         g, tile, first = inp
         accum = jnp.where(first, jnp.ones_like(accum), accum)
         active = tile < spec.n_tiles
@@ -240,27 +238,30 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
         pxc, pyc = _tile_pixel_coords(spec, safe_tile)
         alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
         one_m = 1.0 - alpha
-        trans = _cumprod_excl_lanes(one_m) * accum
+        trans = _cumprod_excl_sublanes(one_m) * accum
         live = (trans >= STOP_THRESH) & active
-        w = jnp.where(live, alpha * trans, 0.0)
-        shb = _sh_pixel_basis(spec, safe_tile, sh_vecs) if spec.color_dim != 3 else None
+        w = jnp.where(live, alpha * trans, 0.0)     # (G, Px)
+        shb = _sh_pixel_basis(spec, safe_tile, sh_vecs) \
+            if spec.color_dim != 3 else None
         cols = _chunk_colors(spec, g, shb)
         color = jnp.concatenate(
-            [jnp.sum(w * c, axis=1, keepdims=True) for c in cols], axis=1
-        )                                           # (Px, 3)
-        accw = jnp.sum(w, axis=1, keepdims=True)
+            [jnp.sum(w * c, axis=0, keepdims=True) for c in cols], axis=0
+        )                                           # (3, Px)
+        accw = jnp.sum(w, axis=0, keepdims=True)    # (1, Px)
         # frozen pixels (early-stopped) keep their transmittance, matching
         # the CUDA per-pixel break (gaussian.cu:906)
-        new_accum = jnp.where(live[:, -1:],
-                              trans[:, -1:] * one_m[:, -1:], accum)
+        new_accum = jnp.where(live[-1:, :], trans[-1:, :] * one_m[-1:, :],
+                              accum)
         return new_accum, (color, accw)
 
-    init = jnp.ones((spec.px, 1), jnp.float32)
-    _, (colors, accws) = jax.lax.scan(body, init, (g_all, chunk_tile, chunk_first))
-    # (NC, Px, 3) / (NC, Px, 1) → per-tile sums
+    init = jnp.ones((1, spec.px), jnp.float32)
+    _, (colors, accws) = jax.lax.scan(body, init,
+                                      (g_all, chunk_tile, chunk_first))
+    # (NC, 3, Px) / (NC, 1, Px) → per-tile sums
     tiles_color = jax.ops.segment_sum(colors, chunk_tile, spec.n_tiles + 1)
-    tiles_accw = jax.ops.segment_sum(accws[..., 0], chunk_tile, spec.n_tiles + 1)
-    return jnp.moveaxis(tiles_color, 2, 1), tiles_accw
+    tiles_accw = jax.ops.segment_sum(accws[:, 0, :], chunk_tile,
+                                     spec.n_tiles + 1)
+    return tiles_color, tiles_accw
 
 
 def assemble_image(tiles_color, tiles_accw, spec: RasterSpec):
@@ -269,7 +270,8 @@ def assemble_image(tiles_color, tiles_accw, spec: RasterSpec):
     if spec.weight_normalize:
         accw = tiles_accw[:spec.n_tiles][:, None, :]
         col = col / jnp.where(accw < 0.01, 1.0, accw)
-    img = col.reshape(spec.n_tile_y, spec.n_tile_x, 3, spec.tile_h, spec.tile_w)
+    img = col.reshape(spec.n_tile_y, spec.n_tile_x, 3, spec.tile_h,
+                      spec.tile_w)
     img = img.transpose(0, 3, 1, 4, 2)
     return img.reshape(spec.padded_h, spec.padded_w, 3)
 
@@ -297,54 +299,51 @@ def _fwd_kernel(spec: RasterSpec,
     @pl.when(active)
     def _():
         pxc, pyc = _tile_pixel_coords(spec, t)
-        g = packed_ref[:]
+        g = packed_ref[:]                           # (G, C)
         alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
         one_m = 1.0 - alpha
-        trans = _cumprod_excl_lanes(one_m) * accum_ref[:]
+        trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
         live = trans >= STOP_THRESH
         w = jnp.where(live, alpha * trans, 0.0)
-        shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 else None
+        shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 \
+            else None
         cols = _chunk_colors(spec, g, shb)
         for ch in range(3):
-            color_ref[:, ch:ch + 1] += jnp.sum(w * cols[ch], axis=1,
+            color_ref[ch:ch + 1, :] += jnp.sum(w * cols[ch], axis=0,
                                                keepdims=True)
-        accw_ref[:] += jnp.sum(w, axis=1, keepdims=True)
-        accum_ref[:] = jnp.where(live[:, -1:], trans[:, -1:] * one_m[:, -1:],
+        accw_ref[:] += jnp.sum(w, axis=0, keepdims=True)
+        accum_ref[:] = jnp.where(live[-1:, :], trans[-1:, :] * one_m[-1:, :],
                                  accum_ref[:])
 
     @pl.when(last)
     def _():
-        col = color_ref[:]                          # (Px, 8)
+        col = color_ref[:]                          # (8, Px)
         if spec.weight_normalize:
             accw = accw_ref[:]
             col = col / jnp.where(accw < 0.01, 1.0, accw)
-        out_ref[0] = col.T                          # (8, Px)
-        accw_out_ref[0] = accw_ref[:].T
+        out_ref[0] = col
+        accw_out_ref[0] = accw_ref[:]
 
 
 def _bwd_kernel(spec: RasterSpec,
                 ct_ref, cf_ref, cl_ref, shv_ref,
                 packed_ref, out_img_ref, grad_img_ref,
                 grad_packed_ref,
-                accum_ref, ccarry_ref, gout_ref, outp_ref):
+                accum_ref, ccarry_ref):
     i = pl.program_id(0)
     t = ct_ref[i]
     first = cf_ref[i] != 0
     active = t < spec.n_tiles
-    px_dim, g_dim = spec.px, spec.chunk_size
+    g_dim = spec.chunk_size
 
     @pl.when(first)
     def _():
         accum_ref[:] = jnp.ones_like(accum_ref)
         ccarry_ref[:] = jnp.zeros_like(ccarry_ref)
-        gout_ref[:] = grad_img_ref[0].T             # (8, Px) → (Px, 8)
-        outp_ref[:] = out_img_ref[0].T
-
-    zeros_block = jnp.zeros((spec.c_rows, g_dim), jnp.float32)
 
     @pl.when(jnp.logical_not(active))
     def _():
-        grad_packed_ref[:] = zeros_block
+        grad_packed_ref[:] = jnp.zeros((g_dim, spec.c_rows), jnp.float32)
 
     @pl.when(active)
     def _():
@@ -353,27 +352,28 @@ def _bwd_kernel(spec: RasterSpec,
         alpha, prob, aux = _chunk_alpha(spec, pxc, pyc, g)
         dx, dy, a, b, c, d, opa, pm, pn = aux
         one_m = 1.0 - alpha
-        trans = _cumprod_excl_lanes(one_m) * accum_ref[:]
+        trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
         live = trans >= STOP_THRESH
         w = jnp.where(live, alpha * trans, 0.0)
-        shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 else None
+        shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 \
+            else None
         cols = _chunk_colors(spec, g, shb)
 
         # suffix-color identity for d_alpha (gaussian.cu:709-722):
         # d_alpha = Σ_c g_c·color_g,c·T_g − Σ_c g_c·(out_c − C_incl,c)/(1−α)
-        d_alpha = jnp.zeros((px_dim, g_dim), jnp.float32)
+        d_alpha = jnp.zeros((g_dim, spec.px), jnp.float32)
         chunk_color_rows = []
         for ch in range(3):
-            gout_c = gout_ref[:, ch:ch + 1]         # (Px, 1)
-            out_c = outp_ref[:, ch:ch + 1]
+            gout_c = grad_img_ref[0, ch:ch + 1, :]  # (1, Px)
+            out_c = out_img_ref[0, ch:ch + 1, :]
             wc = w * cols[ch]
-            c_incl = ccarry_ref[:, ch:ch + 1] + _cumsum_incl_lanes(wc)
+            c_incl = ccarry_ref[ch:ch + 1, :] + _cumsum_incl_sublanes(wc)
             d_alpha += gout_c * cols[ch] * trans
             d_alpha -= gout_c * (out_c - c_incl) / (one_m + ALPHA_EPS)
-            chunk_color_rows.append(jnp.sum(wc, axis=1, keepdims=True))
+            chunk_color_rows.append(jnp.sum(wc, axis=0, keepdims=True))
         d_alpha = jnp.where(live, d_alpha, 0.0)
 
-        d_opa = jnp.sum(d_alpha * prob, axis=0, keepdims=True)      # (1, G)
+        d_opa = jnp.sum(d_alpha * prob, axis=1, keepdims=True)      # (G, 1)
         d_prob = d_alpha * opa
 
         # 2D-gaussian analytic gradients (gaussian.cu:610-634)
@@ -385,39 +385,40 @@ def _bwd_kernel(spec: RasterSpec,
         dp_dx = prob / pn * (2.0 * d * dx - (b + c) * dy)
         dp_dy = prob / pn * (2.0 * a * dy - (b + c) * dx)
 
-        rows = [
-            jnp.sum(d_prob * dp_dx, axis=0, keepdims=True),
-            jnp.sum(d_prob * dp_dy, axis=0, keepdims=True),
-            jnp.sum(d_prob * dp_da, axis=0, keepdims=True),
-            jnp.sum(d_prob * dp_db, axis=0, keepdims=True),
-            jnp.sum(d_prob * dp_dc, axis=0, keepdims=True),
-            jnp.sum(d_prob * dp_dd, axis=0, keepdims=True),
+        cols_out = [
+            jnp.sum(d_prob * dp_dx, axis=1, keepdims=True),
+            jnp.sum(d_prob * dp_dy, axis=1, keepdims=True),
+            jnp.sum(d_prob * dp_da, axis=1, keepdims=True),
+            jnp.sum(d_prob * dp_db, axis=1, keepdims=True),
+            jnp.sum(d_prob * dp_dc, axis=1, keepdims=True),
+            jnp.sum(d_prob * dp_dd, axis=1, keepdims=True),
             d_opa,
         ]
         if spec.color_dim == 3:
             for ch in range(3):
-                rows.append(jnp.sum(gout_ref[:, ch:ch + 1] * w, axis=0,
-                                    keepdims=True))
+                cols_out.append(jnp.sum(grad_img_ref[0, ch:ch + 1, :] * w,
+                                        axis=1, keepdims=True))
         else:
             for ch in range(3):
-                # d logits = g_c · w · σ(1−σ); d coeff = SHᵀ @ d logits
-                dlog = gout_ref[:, ch:ch + 1] * w * cols[ch] * (1.0 - cols[ch])
+                # d logits = g_c · w · σ(1−σ); d coeff = d logits @ SHᵀ
+                dlog = grad_img_ref[0, ch:ch + 1, :] * w * cols[ch] \
+                    * (1.0 - cols[ch])              # (G, Px)
                 dcoef = jax.lax.dot_general(
-                    shb, dlog, (((0,), (0,)), ((), ())),
+                    dlog, shb, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                )                                   # (9, G)
-                rows.append(dcoef)
-        grad = jnp.concatenate(rows, axis=0)
-        pad = spec.c_rows - grad.shape[0]
+                )                                   # (G, 9)
+                cols_out.append(dcoef)
+        grad = jnp.concatenate(cols_out, axis=1)
+        pad = spec.c_rows - grad.shape[1]
         if pad:
             grad = jnp.concatenate(
-                [grad, jnp.zeros((pad, g_dim), jnp.float32)], axis=0)
+                [grad, jnp.zeros((g_dim, pad), jnp.float32)], axis=1)
         grad_packed_ref[:] = grad
 
         for ch in range(3):
-            ccarry_ref[:, ch:ch + 1] += chunk_color_rows[ch]
-        accum_ref[:] = jnp.where(live[:, -1:], trans[:, -1:] * one_m[:, -1:],
+            ccarry_ref[ch:ch + 1, :] += chunk_color_rows[ch]
+        accum_ref[:] = jnp.where(live[-1:, :], trans[-1:, :] * one_m[-1:, :],
                                  accum_ref[:])
 
 
@@ -429,16 +430,16 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
         num_scalar_prefetch=4,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((spec.c_rows, spec.chunk_size), lambda i, *_: (0, i)),
+            pl.BlockSpec((spec.chunk_size, spec.c_rows), lambda i, *_: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
             pl.BlockSpec((1, 1, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((spec.px, 1), jnp.float32),
-            pltpu.VMEM((spec.px, 8), jnp.float32),
-            pltpu.VMEM((spec.px, 1), jnp.float32),
+            pltpu.VMEM((1, spec.px), jnp.float32),   # accum
+            pltpu.VMEM((8, spec.px), jnp.float32),   # color rows
+            pltpu.VMEM((1, spec.px), jnp.float32),   # accumulated weight
         ],
     )
     out_shape = [
@@ -463,18 +464,16 @@ def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
         num_scalar_prefetch=4,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((spec.c_rows, spec.chunk_size), lambda i, *_: (0, i)),
+            pl.BlockSpec((spec.chunk_size, spec.c_rows), lambda i, *_: (i, 0)),
             pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
             pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((spec.c_rows, spec.chunk_size), lambda i, *_: (0, i)),
+            pl.BlockSpec((spec.chunk_size, spec.c_rows), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((spec.px, 1), jnp.float32),   # accum carry
-            pltpu.VMEM((spec.px, 8), jnp.float32),   # color carry (incl.)
-            pltpu.VMEM((spec.px, 8), jnp.float32),   # grad image (transposed)
-            pltpu.VMEM((spec.px, 8), jnp.float32),   # fwd output (transposed)
+            pltpu.VMEM((1, spec.px), jnp.float32),   # accum carry
+            pltpu.VMEM((8, spec.px), jnp.float32),   # color carry (incl.)
         ],
     )
     (grad_packed,) = pl.pallas_call(

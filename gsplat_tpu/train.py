@@ -413,7 +413,7 @@ def build_argparser():
     # TPU-specific
     p.add_argument("--use_pallas", type=int, default=1)
     p.add_argument("--chunk_size", type=int, default=256)
-    p.add_argument("--max_tiles_per_gaussian", type=int, default=36)
+    p.add_argument("--max_tiles_per_gaussian", type=int, default=16)
     p.add_argument("--capacity_round", type=int, default=65536,
                    help="gaussian table capacity bucket (smaller for tiny "
                         "scenes to avoid padded compute)")

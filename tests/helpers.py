@@ -48,7 +48,7 @@ def image_space_scene(rng, n=60, n_tile_x=3, n_tile_y=2, focal=40.0,
         tile_len_x=tw / focal, tile_len_y=th / focal,
         leftmost=-w / 2 / focal, topmost=-h / 2 / focal,
         max_tiles_per_gaussian=n_tiles,
-        pair_capacity=((n * n_tiles + 127) // 128) * 128,
+        slot_capacity=((n * n_tiles + n_tiles * 128) // 128 + 1) * 128,
         chunk_size=128,
         method="prob2",
         thresh=1e-6,
