@@ -296,3 +296,37 @@ class Splatter:
 
     def ground_truth(self, camera_id: int):
         return self.cameras.images[camera_id].astype(jnp.float32) / 255.0
+
+
+if __name__ == "__main__":
+    # Standalone forward+backward smoke test, parity with the reference's
+    # ``python splatter.py`` entry (splatter.py:657-675).
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="colmap_garden/")
+    ap.add_argument("--images", default="images_4")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--use_pallas", type=int, default=1)
+    args = ap.parse_args()
+    cfg = SplatConfig(opa_init_value=0.8, scale_init_value=0.2,
+                      scale_activation="exp",
+                      use_pallas=bool(args.use_pallas))
+    sp = Splatter(os.path.join(args.data, "sparse", "0"),
+                  os.path.join(args.data, args.images), cfg,
+                  load_ckpt=args.ckpt)
+    interp = cfg.use_pallas and jax.default_backend() != "tpu"
+    img = sp.render(0, interpret=interp)
+    gt = sp.ground_truth(0)
+
+    def loss_fn(params):
+        bspec, rspec = sp.specs()
+        out, _ = render_cropped(params, sp.table.live,
+                                sp.cameras.w2c_rot[0], sp.cameras.w2c_tran[0],
+                                sp.cameras.sh_vecs[0], sp.cameras.grid,
+                                cfg, bspec, rspec, interpret=interp)
+        return jnp.mean(jnp.abs(gt - out))
+
+    loss, grads = jax.value_and_grad(loss_fn)(sp.table.params())
+    print(f"smoke: loss={float(loss):.4f} "
+          f"|dpos|={float(jnp.abs(grads['pos']).mean()):.3e}")

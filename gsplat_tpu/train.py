@@ -316,6 +316,17 @@ class Trainer:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         save_checkpoint(self.splat.table, path)
 
+    def save_render(self, i_iter: int, camera_id: int = 0):
+        """Dump a render to {exp}/imgs/ (reference train.py:223-228)."""
+        import cv2
+
+        img, _, _ = self._eval_step(self.state.params, self.state.live,
+                                    camera_id)
+        arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        d = os.path.join(self.tcfg.exp, "imgs")
+        os.makedirs(d, exist_ok=True)
+        cv2.imwrite(os.path.join(d, f"train_{i_iter}.png"), arr[..., ::-1])
+
     # ------------------------------------------------------------------
     def train(self, n_iters=None, metrics_every=20, log=print):
         t = self.tcfg
@@ -346,6 +357,7 @@ class Trainer:
                     f"fps={ev['fps']:.1f}")
             if t.n_save_train_img and i % t.n_save_train_img == 0 and i > 0:
                 self.save()
+                self.save_render(i)
             if t.debug and i % 100 == 0 and i > 0:
                 from gsplat_tpu.utils.timer import StageTimer
 
@@ -370,6 +382,10 @@ def build_argparser():
                    default=t.n_adaptive_control)
     p.add_argument("--render_downsample_start", type=int, default=4)
     p.add_argument("--render_downsample", type=int, default=4)
+    p.add_argument("--jacobian_track", type=int, default=0,
+                   help="accepted for reference-CLI parity; the projection "
+                        "backward here is autodiff-exact, there is no "
+                        "separate torch/cuda jacobian to track")
     p.add_argument("--data", type=str, default=t.data)
     p.add_argument("--scale_init_value", type=float, default=s.scale_init_value)
     p.add_argument("--opa_init_value", type=float, default=s.opa_init_value)
@@ -481,6 +497,11 @@ def main(argv=None):
 
         run_viewer(splat, port=args.gui_port)
         return
+    if args.test:
+        raise SystemExit(
+            "--test 1 requires --gui 1 (reference train.py:395 asserts the "
+            "same); for headless rendering use "
+            "gsplat_tpu.viewer.render_offscreen")
     trainer = Trainer(splat, tcfg)
     trainer.train(metrics_every=args.metrics_every)
     trainer.save()

@@ -31,7 +31,7 @@ table = synthetic_table(N, focal=F, scale_px=2.5)
 cams = synthetic_cameras(M, W, H, F)
 grid = cams["grid"]
 bspec, rspec = make_specs(grid, table.capacity, cfg, 3)
-print(f"capacity={table.capacity} pair_cap={bspec.pair_capacity} "
+print(f"capacity={table.capacity} slot_cap={bspec.slot_capacity} "
       f"num_chunks={bspec.num_chunks} n_tiles={bspec.n_tiles}", flush=True)
 
 params, live = table.params(), table.live
@@ -62,7 +62,7 @@ def s_bin(c):
                           grid.height * 1.2 / 2 / F, cfg.scale_activation)
     p = p._replace(visible=p.visible & live)
     b = bin_gaussians(p, bspec)
-    return b.n_pairs + b.gather_idx[0]
+    return b.n_pairs + b.aligned_idx[0]
 
 
 @jax.jit
@@ -128,7 +128,7 @@ if __name__ == "__main__":
                           grid.width * 1.2 / 2 / F, grid.height * 1.2 / 2 / F,
                           cfg.scale_activation)._replace(visible=live),
         bspec).n_pairs)(0))
-    print(f"actual n_pairs={np_} of pair_capacity={bspec.pair_capacity}",
+    print(f"actual n_pairs={np_} of slot_capacity={bspec.slot_capacity}",
           flush=True)
     slope(s_project, "project")
     slope(s_bin, "bin")
