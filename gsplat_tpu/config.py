@@ -41,7 +41,7 @@ class SplatConfig:
     # caps per-tile capacity at N//20 (splatter.py:569) and silently drops
     # overflow; we cap per-gaussian tile-bbox coverage, which bounds the
     # candidate sort.  n_clipped is tracked per step.
-    max_tiles_per_gaussian: int = 16
+    max_tiles_per_gaussian: int = 8
     # Gaussian-chunk length processed per pallas grid step (the VMEM staging
     # analogue of the reference's SMSIZE shared-memory chunks,
     # gaussian.cu:998-1022).  Must be a multiple of 128 (TPU lanes).

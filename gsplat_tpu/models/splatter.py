@@ -179,6 +179,7 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
         "visible": proj.visible,
         "n_pairs": binned.n_pairs,
         "n_clipped": binned.n_clipped,
+        "n_max_tiles": binned.n_max_tiles,
     }
     return img, aux
 

@@ -94,6 +94,7 @@ class BinnedPairs(NamedTuple):
     n_pairs: jnp.ndarray      # ()    total real pairs (diagnostic)
     n_clipped: jnp.ndarray    # ()    pairs dropped by the per-gaussian K cap
     n_dropped: jnp.ndarray    # ()    pairs dropped by slot_capacity overflow
+    n_max_tiles: jnp.ndarray  # ()    max tiles covered by any gaussian
 
 
 def _tile_bbox(spec: BinningSpec, mean2d, cov2d, visible):
@@ -155,6 +156,7 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
     x0, y0, rw, rh = _tile_bbox(spec, mean2d, cov2d, visible)
     count = jnp.minimum(rw * rh, K)                              # (N,)
     n_clipped = jnp.sum(jnp.maximum(rw * rh - K, 0))
+    n_max_tiles = jnp.max(rw * rh)
     kk = jnp.arange(K, dtype=jnp.int32)[None, :]                 # (1, K)
     rw_safe = jnp.maximum(rw, 1)[:, None]
     ky = kk // rw_safe
@@ -239,6 +241,7 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
         n_pairs=n_pairs,
         n_clipped=n_clipped,
         n_dropped=n_dropped,
+        n_max_tiles=n_max_tiles,
     )
 
 
@@ -246,10 +249,23 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
 # channel packing (with a gather-only custom backward)
 # ---------------------------------------------------------------------------
 
+def _take_rows8(tab, idx):
+    """Row gather in 8-column strips.
+
+    Measured on TPU: gathers with 32-byte rows run ~6x faster than 64-byte
+    rows (5 ns vs 30 ns per row), so wide-channel gathers are strip-mined.
+    """
+    c = tab.shape[1]
+    if c <= 8:
+        return jnp.take(tab, idx, axis=0)
+    strips = [jnp.take(tab[:, i:i + 8], idx, axis=0) for i in range(0, c, 8)]
+    return jnp.concatenate(strips, axis=1)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _gather_rows(chan, aligned_idx, slot_valid, slot_of_pair, inv_order,
                  k_width):
-    rows = jnp.take(chan, aligned_idx, axis=0)
+    rows = _take_rows8(chan, aligned_idx)
     return rows * slot_valid[:, None].astype(rows.dtype)
 
 
@@ -266,10 +282,10 @@ def _gather_rows_bwd(k_width, res, g):
     s = g.shape[0]
     pair_ok = slot_of_pair >= 0
     safe = jnp.clip(slot_of_pair, 0, s - 1)
-    gp = jnp.take(g, safe, axis=0) * pair_ok[:, None].astype(g.dtype)
+    gp = _take_rows8(g, safe) * pair_ok[:, None].astype(g.dtype)
     # reduce candidates per DEPTH ROW, then permute back to original order
     grad_rows = gp.reshape(n, k_width, g.shape[1]).sum(axis=1)
-    grad_chan = jnp.take(grad_rows, inv_order, axis=0)
+    grad_chan = _take_rows8(grad_rows, inv_order)
     import numpy as _np
 
     z = lambda x: _np.zeros(x.shape, jax.dtypes.float0)

@@ -137,6 +137,7 @@ def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False):
             counter = jnp.ones_like(st.grad_counter)
         metrics = dict(metrics, n_pairs=aux["n_pairs"],
                        n_clipped=aux["n_clipped"],
+                       n_max_tiles=aux["n_max_tiles"],
                        grad_mean={k: jnp.mean(jnp.abs(grads[k]))
                                   for k in GROUP_ORDER})
         return TrainState(new_params, st.live, new_opt, accum, counter), metrics
@@ -429,7 +430,7 @@ def build_argparser():
     # TPU-specific
     p.add_argument("--use_pallas", type=int, default=1)
     p.add_argument("--chunk_size", type=int, default=256)
-    p.add_argument("--max_tiles_per_gaussian", type=int, default=16)
+    p.add_argument("--max_tiles_per_gaussian", type=int, default=8)
     p.add_argument("--capacity_round", type=int, default=65536,
                    help="gaussian table capacity bucket (smaller for tiny "
                         "scenes to avoid padded compute)")
