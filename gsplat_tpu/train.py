@@ -317,6 +317,41 @@ class Trainer:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         save_checkpoint(self.splat.table, path)
 
+    def save_full(self, path: str, i_iter: int):
+        """Full resumable state: params + live + Adam moments + counters.
+
+        Goes beyond the reference's weights-only checkpoint
+        (train.py:283-291) so training resumes bit-exact.
+        """
+        self._sync_table_from_state()
+        st = jax.device_get(self.state)
+        np.savez_compressed(
+            path, i_iter=i_iter,
+            live=st.live, accum_grad=st.accum_grad,
+            grad_counter=st.grad_counter, adam_t=st.opt.t,
+            **{f"p_{k}": v for k, v in st.params.items()},
+            **{f"mu_{k}": v for k, v in st.opt.mu.items()},
+            **{f"nu_{k}": v for k, v in st.opt.nu.items()},
+        )
+
+    def load_full(self, path: str) -> int:
+        """Restore :meth:`save_full` state; returns the saved iteration."""
+        with np.load(path) as z:
+            params = {k: jnp.asarray(z[f"p_{k}"]) for k in GROUP_ORDER}
+            self.state = TrainState(
+                params=params,
+                live=jnp.asarray(z["live"]),
+                opt=AdamState(
+                    mu={k: jnp.asarray(z[f"mu_{k}"]) for k in GROUP_ORDER},
+                    nu={k: jnp.asarray(z[f"nu_{k}"]) for k in GROUP_ORDER},
+                    t=jnp.asarray(z["adam_t"])),
+                accum_grad=jnp.asarray(z["accum_grad"]),
+                grad_counter=jnp.asarray(z["grad_counter"]),
+            )
+            i_iter = int(z["i_iter"])
+        self._sync_table_from_state()
+        return i_iter
+
     def save_render(self, i_iter: int, camera_id: int = 0):
         """Dump a render to {exp}/imgs/ (reference train.py:223-228)."""
         import cv2
