@@ -154,7 +154,11 @@ def _chunk_alpha(spec: RasterSpec, pxc, pyc, g):
     pn = 2.0 * det + DET_EPS
     pm = -(d * dx * dx - (b + c) * dx * dy + a * dy * dy)
     prob = jnp.exp(pm / pn)
-    alpha = prob * opa
+    # PSD covariances give prob<=1 so alpha<1; the clamp only guards
+    # degenerate numerics (it keeps transmittance monotone, which the
+    # unconditional chunk carry relies on — the CUDA loop gets the same
+    # safety from its per-pixel break)
+    alpha = jnp.minimum(prob * opa, 0.9999)
     return alpha, prob, (dx, dy, a, b, c, d, opa, pm, pn)
 
 
@@ -248,10 +252,12 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
             [jnp.sum(w * c, axis=0, keepdims=True) for c in cols], axis=0
         )                                           # (3, Px)
         accw = jnp.sum(w, axis=0, keepdims=True)    # (1, Px)
-        # frozen pixels (early-stopped) keep their transmittance, matching
-        # the CUDA per-pixel break (gaussian.cu:906)
-        new_accum = jnp.where(live[-1:, :], trans[-1:, :] * one_m[-1:, :],
-                              accum)
+        # transmittance is monotone non-increasing, so carrying the full
+        # product is exactly equivalent to the CUDA per-pixel break
+        # (gaussian.cu:906): once below STOP_THRESH it stays below and the
+        # live mask keeps masking.  (A conditional "freeze" here would let
+        # pixels resurrect at chunk boundaries.)
+        new_accum = trans[-1:, :] * one_m[-1:, :]
         return new_accum, (color, accw)
 
     init = jnp.ones((1, spec.px), jnp.float32)
@@ -312,8 +318,8 @@ def _fwd_kernel(spec: RasterSpec,
             color_ref[ch:ch + 1, :] += jnp.sum(w * cols[ch], axis=0,
                                                keepdims=True)
         accw_ref[:] += jnp.sum(w, axis=0, keepdims=True)
-        accum_ref[:] = jnp.where(live[-1:, :], trans[-1:, :] * one_m[-1:, :],
-                                 accum_ref[:])
+        # monotone transmittance: unconditional carry == CUDA early stop
+        accum_ref[:] = trans[-1:, :] * one_m[-1:, :]
 
     @pl.when(last)
     def _():
@@ -372,6 +378,8 @@ def _bwd_kernel(spec: RasterSpec,
             d_alpha -= gout_c * (out_c - c_incl) / (one_m + ALPHA_EPS)
             chunk_color_rows.append(jnp.sum(wc, axis=0, keepdims=True))
         d_alpha = jnp.where(live, d_alpha, 0.0)
+        # no gradient through the degenerate-numerics alpha clamp
+        d_alpha = jnp.where(prob * opa < 0.9999, d_alpha, 0.0)
 
         d_opa = jnp.sum(d_alpha * prob, axis=1, keepdims=True)      # (G, 1)
         d_prob = d_alpha * opa
@@ -418,8 +426,7 @@ def _bwd_kernel(spec: RasterSpec,
 
         for ch in range(3):
             ccarry_ref[ch:ch + 1, :] += chunk_color_rows[ch]
-        accum_ref[:] = jnp.where(live[-1:, :], trans[-1:, :] * one_m[-1:, :],
-                                 accum_ref[:])
+        accum_ref[:] = trans[-1:, :] * one_m[-1:, :]
 
 
 def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,

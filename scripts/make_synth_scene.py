@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Build a mid-size synthetic COLMAP scene with GT images rendered by this
+framework's own pipeline (for end-to-end training validation without a
+dataset): GT gaussians → rendered views → COLMAP files + a degraded point
+cloud as the training init."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import jax
+import jax.numpy as jnp
+import cv2
+
+from fixtures import write_cameras_bin, write_images_bin, write_points3d_bin
+from gsplat_tpu.config import SplatConfig
+from gsplat_tpu.models.splatter import make_specs, render_cropped
+from gsplat_tpu.models.camera import TileGrid, ray_info
+from gsplat_tpu.synthetic import synthetic_table
+from gsplat_tpu.utils.so3 import quat_to_rotmat_np
+
+
+def main(out_dir, n_gt=50_000, n_points=15_000, n_cams=24, w=640, h=416,
+         focal=500.0, downsample=4, seed=0):
+    rng = np.random.default_rng(seed)
+    interpret = jax.default_backend() != "tpu"
+    table = synthetic_table(n_gt, capacity_round=4096, focal=focal,
+                            scale_px=3.0, opa=0.7, seed=seed)
+    cfg = SplatConfig(capacity_round=4096)
+    grid = TileGrid(width=w, height=h, focal_x=focal, focal_y=focal)
+    bspec, rspec = make_specs(grid, table.capacity, cfg, 3)
+
+    # ring of cameras with small rotations/translations
+    poses = []
+    for i in range(n_cams):
+        ang = 0.12 * np.sin(2 * np.pi * i / n_cams)
+        tilt = 0.06 * np.cos(2 * np.pi * i / n_cams)
+        q = np.array([np.cos(ang / 2) * np.cos(tilt / 2),
+                      np.sin(tilt / 2), np.sin(ang / 2), 0.0])
+        q /= np.linalg.norm(q)
+        t = np.array([0.15 * np.sin(2 * np.pi * i / n_cams),
+                      0.08 * np.cos(2 * np.pi * i / n_cams), 0.0])
+        poses.append((q, t, f"img_{i:03d}.png"))
+
+    sparse = os.path.join(out_dir, "sparse", "0")
+    os.makedirs(sparse, exist_ok=True)
+    img_dir = os.path.join(out_dir, f"images_{downsample}")
+    os.makedirs(img_dir, exist_ok=True)
+
+    params, live = table.params(), table.live
+    render = jax.jit(lambda rot, tran, shv: render_cropped(
+        params, live, rot, tran, shv, grid, cfg, bspec, rspec,
+        interpret=interpret)[0])
+    for q, t, name in poses:
+        rot = quat_to_rotmat_np(q)
+        shv = np.stack(list(ray_info(rot, t, grid.padded_height,
+                                     grid.padded_width, focal, focal
+                                     ).values()))
+        img = np.asarray(render(jnp.asarray(rot, jnp.float32),
+                                jnp.asarray(t, jnp.float32),
+                                jnp.asarray(shv, jnp.float32)))
+        img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(img_dir, name),
+                    cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
+        print("rendered", name, flush=True)
+
+    # degraded init point cloud: subsample GT + jitter
+    n_live = int(table.n_live)
+    sel = rng.choice(n_live, size=n_points, replace=False)
+    pos = np.asarray(table.pos)[sel] + rng.normal(0, 0.01, (n_points, 3))
+    rgb_logit = np.asarray(table.rgb)[sel]
+    rgb = (1 / (1 + np.exp(-rgb_logit)) * 255).astype(np.uint8)
+    write_cameras_bin(os.path.join(sparse, "cameras.bin"), 1,
+                      w * downsample, h * downsample,
+                      focal * downsample, focal * downsample)
+    write_images_bin(os.path.join(sparse, "images.bin"), poses, 1)
+    write_points3d_bin(os.path.join(sparse, "points3D.bin"), pos, rgb)
+    print("scene written to", out_dir)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_scene")
