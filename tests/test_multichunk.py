@@ -56,6 +56,33 @@ def test_multichunk_early_stop_vs_oracle(rng):
                                atol=5e-4, rtol=1e-2)
 
 
+def test_multichunk_sh_pallas_grads(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=900, sigma_px=(4.0, 18.0), color_dim=27)
+    opa = opa * 0.6
+    binned = bin_gaussians(proj, bspec)
+    packed = pack_pairs(binned, proj, opa, color)
+    shv = jnp.asarray(np.random.default_rng(2).normal(size=(4, 3)),
+                      jnp.float32)
+    gkey = jnp.asarray(np.random.default_rng(1).normal(
+        size=(rspec.n_tiles + 1, 3, rspec.px)), jnp.float32)
+
+    def lj(p):
+        t, _ = composite_chunks_jnp(p, binned.chunk_tile, binned.chunk_first,
+                                    rspec, shv)
+        return jnp.sum(t[:, :3] * gkey)
+
+    def lp(p):
+        t, _ = composite_chunks_pallas(p, binned.chunk_tile,
+                                       binned.chunk_first, binned.chunk_last,
+                                       rspec, shv, interpret=True)
+        return jnp.sum(t * gkey)
+
+    gj = np.asarray(jax.grad(lj)(packed))
+    gp = np.asarray(jax.grad(lp)(packed))
+    np.testing.assert_allclose(gp, gj, atol=2e-3, rtol=2e-3)
+
+
 def test_multichunk_pallas_grads(rng):
     proj, opa, color, bspec, rspec = _dense_scene(rng, opa_scale=0.6)
     binned = bin_gaussians(proj, bspec)
