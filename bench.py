@@ -7,11 +7,17 @@ synthetic with gaussian statistics tuned to Garden-like tile occupancy; the
 timed pipeline (project → bin → sort → rasterize fwd+bwd → adam) is the real
 one.
 
+Both phases batch iterations inside one dispatch (lax.scan) because each
+executable launch costs a host round-trip on remote-attached TPUs; timing is
+slope-based (Δwall between two batch sizes) with host scalar fetches, since
+identical dispatches can be served from a result cache on such tunnels.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 Baselines (BASELINE.md): 13 train it/s, 60 render FPS on 1x GPU.
 """
 
+import functools
 import json
 import time
 
@@ -32,10 +38,10 @@ def main():
     interpret = not on_tpu
     if on_tpu:
         n_gauss, w, h, focal = 506_627, 1297, 840, 1000.0
-        m_cams, frames, steps = 48, 40, 30
+        m_cams, k_small, k_big = 48, 8, 40
     else:  # CI / CPU smoke: tiny proxy
         n_gauss, w, h, focal = 20_000, 320, 240, 260.0
-        m_cams, frames, steps = 8, 4, 3
+        m_cams, k_small, k_big = 8, 1, 3
 
     cfg = SplatConfig(use_pallas=True)
     tcfg = TrainConfig(ssim_weight=0.1)
@@ -44,65 +50,79 @@ def main():
     grid = cams["grid"]
     bspec, rspec = make_specs(grid, table.capacity, cfg, 3)
 
-    # ---------------- render FPS ----------------
-    import functools
-
-    @jax.jit
-    def render_fn(params, live, rot, tran, shv):
-        img, _ = render_padded(params, live, rot, tran, shv, grid, cfg,
-                               bspec, rspec, interpret=interpret)
-        return img
+    # ---------------- render FPS (scan over frames, one dispatch) -------
+    def frames_fn(k):
+        @jax.jit
+        def run(params, live, salt):
+            def body(acc, c):
+                img, _ = render_padded(
+                    params, live, cams["w2c_rot"][c] + salt * 0.0,
+                    cams["w2c_tran"][c], cams["sh_vecs"][c],
+                    grid, cfg, bspec, rspec, interpret=interpret)
+                return acc + img[0, 0, 0], None
+            cs = (jnp.arange(k, dtype=jnp.int32) % m_cams)
+            acc, _ = jax.lax.scan(body, salt, cs)
+            return acc
+        return run
 
     params, live = table.params(), table.live
+    f_small, f_big = frames_fn(k_small), frames_fn(k_big)
+    float(f_small(params, live, jnp.float32(0)))
+    float(f_big(params, live, jnp.float32(0)))
 
-    def run_frames(k, offset):
-        for i in range(k):
-            c = (offset + i) % m_cams
-            img = render_fn(params, live, cams["w2c_rot"][c],
-                            cams["w2c_tran"][c], cams["sh_vecs"][c])
-        return float(img[0, 0, 0])  # host fetch drains the queue
+    def tmin(f, reps=2):
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            float(f(params, live, jnp.float32(r + 1)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    run_frames(2, 0)  # compile+warm
-    t0 = time.perf_counter(); run_frames(2, 2); t_small = time.perf_counter() - t0
-    t0 = time.perf_counter(); run_frames(frames, 4); t_big = time.perf_counter() - t0
-    fps = (frames - 2) / max(t_big - t_small, 1e-9)
+    fps = (k_big - k_small) / max(tmin(f_big) - tmin(f_small), 1e-9)
 
-    # ---------------- train it/s ----------------
+    # ---------------- train it/s (scan over steps, one dispatch) --------
     loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, interpret)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(st, cam_idx, lrs):
-        rot = cams["w2c_rot"][cam_idx]
-        tran = cams["w2c_tran"][cam_idx]
-        shv = cams["sh_vecs"][cam_idx]
-        gt = cams["images"][cam_idx].astype(jnp.float32) / 255.0
-        grads, (metrics, aux, _img) = jax.grad(loss_fn, has_aux=True)(
-            st.params, st.live, rot, tran, shv, gt)
-        new_params, new_opt = adam_update(st.params, grads, st.opt, lrs,
-                                          tcfg.adam_b1, tcfg.adam_b2,
-                                          tcfg.adam_eps)
-        accum = jnp.maximum(st.accum_grad, jnp.abs(grads["pos"]))
-        return TrainState(new_params, st.live, new_opt, accum,
-                          st.grad_counter), metrics["loss"]
+    def steps_fn(k):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(st):
+            def body(st, c):
+                gt = cams["images"][c].astype(jnp.float32) / 255.0
+                grads, (m, aux, _img) = jax.grad(loss_fn, has_aux=True)(
+                    st.params, st.live, cams["w2c_rot"][c],
+                    cams["w2c_tran"][c], cams["sh_vecs"][c], gt)
+                p, o = adam_update(st.params, grads, st.opt,
+                                   jnp.full((5,), 1e-3, jnp.float32),
+                                   tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps)
+                accum = jnp.maximum(st.accum_grad, jnp.abs(grads["pos"]))
+                return TrainState(p, st.live, o, accum,
+                                  st.grad_counter), m["loss"]
+            cs = (jnp.arange(k, dtype=jnp.int32) % m_cams)
+            st, losses = jax.lax.scan(body, st, cs)
+            return st, losses[-1]
+        return run
 
-    state = TrainState(params=table.params(), live=table.live,
-                       opt=init_adam(table.params()),
-                       accum_grad=jnp.zeros_like(table.pos),
-                       grad_counter=jnp.zeros(table.capacity, jnp.float32))
-    lrs = jnp.full((5,), 1e-3, jnp.float32)
+    def fresh_state():
+        p = jax.tree.map(jnp.copy, table.params())
+        return TrainState(params=p, live=jnp.copy(table.live),
+                          opt=init_adam(p),
+                          accum_grad=jnp.zeros_like(p["pos"]),
+                          grad_counter=jnp.zeros(table.capacity, jnp.float32))
 
-    def run_steps(state, k):
-        loss = None
-        for i in range(k):
-            state, loss = train_step(state, i % m_cams, lrs)
-        return state, float(loss)
+    s_small, s_big = steps_fn(k_small), steps_fn(k_big)
 
-    state, _ = run_steps(state, 2)  # compile+warm
-    t0 = time.perf_counter(); state, _ = run_steps(state, 2)
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter(); state, _ = run_steps(state, steps)
-    t_big = time.perf_counter() - t0
-    it_s = (steps - 2) / max(t_big - t_small, 1e-9)
+    def time_steps(f):
+        st = fresh_state()
+        st, l = f(st)
+        float(l)  # warm
+        st2 = fresh_state()
+        t0 = time.perf_counter()
+        st2, l = f(st2)
+        float(l)
+        return time.perf_counter() - t0
+
+    it_s = (k_big - k_small) / max(time_steps(s_big) - time_steps(s_small),
+                                   1e-9)
 
     print(json.dumps({
         "metric": "train_it_per_s@506k_gaussians_1297x840",

@@ -145,6 +145,57 @@ def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False):
     return train_step
 
 
+def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False):
+    """Multi-step training window: ONE dispatch runs K steps via lax.scan.
+
+    Each executable launch costs a full host round-trip on remote-attached
+    TPUs (~hundreds of ms through a tunnel), while the device-side step is
+    ~tens of ms — so host-driven step-at-a-time training is dispatch-bound.
+    Scanning K steps per dispatch amortizes it away.  Per-step camera ids,
+    LR vectors and accumulator-clear flags are passed as (K, ...) arrays;
+    host-side events (densify, opacity reset, eval, checkpoint) land on
+    window boundaries.
+    """
+    cfg = splat.cfg
+    grid = splat.cameras.grid
+    bspec, rspec = splat.specs()
+    b1, b2, eps = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps
+    loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, interpret)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_window(st: TrainState, cam_idxs, lrs_arr, clear_flags):
+        def body(st, inp):
+            cam_idx, lrs, clear = inp
+            accum0 = jnp.where(clear, 0.0, st.accum_grad)
+            counter0 = jnp.where(clear, 0.0, st.grad_counter)
+            rot = splat.cameras.w2c_rot[cam_idx]
+            tran = splat.cameras.w2c_tran[cam_idx]
+            shv = splat.cameras.sh_vecs[cam_idx]
+            gt = splat.cameras.images[cam_idx].astype(jnp.float32) / 255.0
+            grads, (metrics, aux, _img) = jax.grad(
+                loss_fn, has_aux=True)(st.params, st.live, rot, tran, shv, gt)
+            new_params, new_opt = adam_update(st.params, grads, st.opt, lrs,
+                                              b1, b2, eps)
+            pg = jnp.abs(grads["pos"])
+            if tcfg.grad_accum_method == "mean":
+                accum = accum0 + pg
+                counter = counter0 + aux["visible"].astype(jnp.float32)
+            else:
+                accum = jnp.maximum(accum0, pg)
+                counter = jnp.ones_like(counter0)
+            metrics = dict(metrics, n_pairs=aux["n_pairs"],
+                           n_clipped=aux["n_clipped"],
+                           n_max_tiles=aux["n_max_tiles"])
+            return (TrainState(new_params, st.live, new_opt, accum, counter),
+                    metrics)
+
+        st, ms = jax.lax.scan(body, st, (cam_idxs, lrs_arr, clear_flags))
+        # surface the last step's metrics (cheap to fetch)
+        return st, jax.tree.map(lambda x: x[-1], ms)
+
+    return train_window
+
+
 def make_eval_step(splat: Splatter, interpret=False):
     cfg = splat.cfg
     grid = splat.cameras.grid
@@ -188,6 +239,7 @@ class Trainer:
             grad_counter=jnp.zeros(splat.table.capacity, jnp.float32),
         )
         self._train_step = make_train_step(splat, tcfg, interpret)
+        self._train_window = make_train_window(splat, tcfg, interpret)
         self._eval_step = make_eval_step(splat, interpret)
         self.history = {"l1": [], "ssim": [], "psnr": []}
 
@@ -208,10 +260,23 @@ class Trainer:
     def _rebuild_after_capacity_change(self):
         self._train_step = make_train_step(self.splat, self.tcfg,
                                            self.interpret)
+        self._train_window = make_train_window(self.splat, self.tcfg,
+                                               self.interpret)
         self._eval_step = make_eval_step(self.splat, self.interpret)
 
     # ------------------------------------------------------------------
-    def train_step(self, i_iter: int):
+    # per-iteration event predicates (reference train.py:87-91)
+    def _pre_clear(self, i: int) -> bool:
+        t = self.tcfg
+        return (i > 600 and
+                (i + t.grad_accum_iters - 1) % t.n_adaptive_control == 0)
+
+    def _has_post_event(self, i: int) -> bool:
+        t = self.tcfg
+        return ((i % t.n_opa_reset == 0 and i > 0)
+                or (i > 600 and i % t.n_adaptive_control == 0))
+
+    def _post_step(self, i_iter: int):
         t = self.tcfg
         _reset_opa = i_iter % t.n_opa_reset == 0 and i_iter > 0
         _in_reset = (i_iter >= t.n_opa_reset
@@ -219,11 +284,17 @@ class Trainer:
         _ac_delete = i_iter > 600 and i_iter % t.n_adaptive_control == 0
         _ac = (i_iter > 600 and i_iter < t.adaptive_control_end_iter
                and i_iter % t.n_adaptive_control == 0)
-        _accum_start = (i_iter > 600 and
-                        (i_iter + t.grad_accum_iters - 1)
-                        % t.n_adaptive_control == 0)
+        if _ac or _ac_delete:
+            self._densify(i_iter, _ac, _in_reset)
+        if _reset_opa:
+            self._sync_table_from_state()
+            self.splat.table = reset_opacity(self.splat.table)
+            self.state = self.state._replace(
+                params=self.splat.table.params())
 
-        if _accum_start:
+    def train_step(self, i_iter: int):
+        t = self.tcfg
+        if self._pre_clear(i_iter):
             self.state = self.state._replace(
                 accum_grad=jnp.zeros_like(self.state.accum_grad),
                 grad_counter=jnp.zeros_like(self.state.grad_counter))
@@ -242,16 +313,23 @@ class Trainer:
             self.state, metrics = self._train_step(self.state, cam,
                                                    self.lrs_at(i_iter))
         self._last_metrics = metrics
+        self._post_step(i_iter)
+        return metrics
 
-        if _ac or _ac_delete:
-            self._densify(i_iter, _ac, _in_reset)
-
-        if _reset_opa:
-            self._sync_table_from_state()
-            self.splat.table = reset_opacity(self.splat.table)
-            self.state = self.state._replace(
-                params=self.splat.table.params())
-
+    def train_window(self, i0: int, i1: int):
+        """Run steps i0..i1 inclusive in ONE device dispatch (lax.scan);
+        post-step host events of i1 are applied afterwards.  Executable
+        launches cost a full round-trip on remote-attached TPUs, so this is
+        how the trainer stays device-bound."""
+        k = i1 - i0 + 1
+        cams = jnp.asarray(
+            [int(self.rng.choice(self.train_split)) for _ in range(k)],
+            jnp.int32)
+        lrs = jnp.stack([self.lrs_at(x) for x in range(i0, i1 + 1)])
+        clear = jnp.asarray([self._pre_clear(x) for x in range(i0, i1 + 1)])
+        self.state, metrics = self._train_window(self.state, cams, lrs, clear)
+        self._last_metrics = metrics
+        self._post_step(i1)
         return metrics
 
     def _densify(self, i_iter, _ac, _in_reset):
@@ -364,40 +442,58 @@ class Trainer:
         cv2.imwrite(os.path.join(d, f"train_{i_iter}.png"), arr[..., ::-1])
 
     # ------------------------------------------------------------------
+    def _is_host_boundary(self, i: int) -> bool:
+        """Steps whose completion requires host-side action."""
+        t = self.tcfg
+        return (self._has_post_event(i)
+                or (i == 400 and t.render_downsample_start
+                    != t.render_downsample)
+                or bool(t.n_iters_test and i % t.n_iters_test == 0 and i > 0)
+                or bool(t.n_save_train_img
+                        and i % t.n_save_train_img == 0 and i > 0))
+
     def train(self, n_iters=None, metrics_every=20, log=print):
         t = self.tcfg
         n_iters = n_iters or t.n_iters
-        pending = []
         t_start = time.perf_counter()
-        for i in range(n_iters):
-            metrics = self.train_step(i)
-            pending.append((i, metrics))
-            if i % metrics_every == 0 or i == n_iters - 1:
-                m = jax.device_get(pending[-1][1])
-                self.history["l1"].append(float(m["l1"]))
-                self.history["psnr"].append(float(m["psnr"]))
-                its = (i + 1) / (time.perf_counter() - t_start)
-                log(f"iter {i}: l1={float(m['l1']):.4f} "
-                    f"psnr={float(m['psnr']):.2f} "
-                    f"pairs={int(m['n_pairs'])} {its:.1f} it/s")
-                pending.clear()
-            if (i == 400 and t.render_downsample_start
+        i = 0
+        while i < n_iters:
+            if t.debug:
+                # single-step mode keeps per-step stage timing meaningful
+                metrics = self.train_step(i)
+                j = i
+            else:
+                j = i
+                while (j < n_iters - 1 and j - i + 1 < metrics_every
+                       and not self._is_host_boundary(j)):
+                    j += 1
+                metrics = (self.train_step(i) if j == i
+                           else self.train_window(i, j))
+            m = jax.device_get(metrics)
+            self.history["l1"].append(float(m["l1"]))
+            self.history["psnr"].append(float(m["psnr"]))
+            its = (j + 1) / (time.perf_counter() - t_start)
+            log(f"iter {j}: l1={float(m['l1']):.4f} "
+                f"psnr={float(m['psnr']):.2f} "
+                f"pairs={int(m['n_pairs'])} {its:.1f} it/s")
+            if (j == 400 and t.render_downsample_start
                     != t.render_downsample):
                 # reference train.py:233-234: move to the target pyramid
                 # level after a coarse warm start
                 self.splat.switch_resolution(t.render_downsample)
                 self._rebuild_after_capacity_change()
-            if t.n_iters_test and i % t.n_iters_test == 0 and i > 0:
+            if t.n_iters_test and j % t.n_iters_test == 0 and j > 0:
                 ev = self.evaluate()
-                log(f"TEST @{i}: psnr={ev['psnr']:.4f} ssim={ev['ssim']:.4f} "
+                log(f"TEST @{j}: psnr={ev['psnr']:.4f} ssim={ev['ssim']:.4f} "
                     f"fps={ev['fps']:.1f}")
-            if t.n_save_train_img and i % t.n_save_train_img == 0 and i > 0:
+            if t.n_save_train_img and j % t.n_save_train_img == 0 and j > 0:
                 self.save()
-                self.save_render(i)
-            if t.debug and i % 100 == 0 and i > 0:
+                self.save_render(j)
+            if t.debug and j % 100 == 0 and j > 0:
                 from gsplat_tpu.utils.timer import StageTimer
 
                 StageTimer.show_recorder()
+            i = j + 1
         return self.history
 
 
