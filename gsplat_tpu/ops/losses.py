@@ -47,16 +47,21 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
     g = g / g.sum()
 
     def blur(x):  # x: (H, W, C) → separable depthwise gaussian, VALID
+        # NHWC end to end: a layout shuffle to NCHW costs ~30 ms at
+        # 1297x840 on TPU (strided minor-dim-3 transpose)
         c = x.shape[-1]
-        x = x[None].transpose(0, 3, 1, 2)  # (1, C, H, W)
-        kh = jnp.tile(g.reshape(1, 1, kernel_size, 1), (c, 1, 1, 1))
-        kw = jnp.tile(g.reshape(1, 1, 1, kernel_size), (c, 1, 1, 1))
+        kh = jnp.tile(g.reshape(kernel_size, 1, 1, 1), (1, 1, 1, c))
+        kw = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))
         hi = jax.lax.Precision.HIGHEST
-        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+        dn = jax.lax.conv_dimension_numbers(
+            (1,) + x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+        x = jax.lax.conv_general_dilated(x[None], kh, (1, 1), "VALID",
+                                         dimension_numbers=dn,
                                          feature_group_count=c, precision=hi)
         x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                         dimension_numbers=dn,
                                          feature_group_count=c, precision=hi)
-        return x[0].transpose(1, 2, 0)
+        return x[0]
 
     p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)

@@ -1,5 +1,6 @@
-"""SSIM / PSNR cross-checked against torchmetrics (the reference's metrics,
-train.py:72-73)."""
+"""SSIM / PSNR cross-checked against a float64 numpy oracle (and against
+torchmetrics — the reference's metric library, train.py:72-73 — when it is
+installed; it is not part of this TPU image)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -16,9 +17,46 @@ def pair():
     return a, b
 
 
+def _ssim_numpy(a, b, data_range=1.0, ks=11, sigma=1.5):
+    """Classic Wang et al. SSIM, gaussian window, valid region, float64."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    half = (ks - 1) / 2
+    x = np.arange(ks) - half
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    w = np.outer(g, g)
+
+    def blur(img):
+        h, wd, c = img.shape
+        out = np.empty((h - ks + 1, wd - ks + 1, c))
+        for ch in range(c):
+            for i in range(out.shape[0]):
+                for j in range(out.shape[1]):
+                    out[i, j, ch] = (img[i:i + ks, j:j + ks, ch] * w).sum()
+        return out
+
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    mu_a, mu_b = blur(a), blur(b)
+    va = blur(a * a) - mu_a ** 2
+    vb = blur(b * b) - mu_b ** 2
+    vab = blur(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * vab + c2)
+         / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+    return s.mean()
+
+
+def test_ssim_matches_numpy_oracle(pair):
+    a, b = pair
+    a, b = a[:32, :40], b[:32, :40]  # keep the O(n^2*k^2) oracle cheap
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0))
+    ref = _ssim_numpy(a, b)
+    assert abs(ours - ref) < 1e-4, (ours, ref)
+
+
 def test_ssim_matches_torchmetrics(pair):
-    torch = pytest.importorskip("torch")
     tm = pytest.importorskip("torchmetrics")
+    torch = pytest.importorskip("torch")
     a, b = pair
     ours = float(ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0))
     crit = tm.StructuralSimilarityIndexMeasure(data_range=1.0)
@@ -28,14 +66,13 @@ def test_ssim_matches_torchmetrics(pair):
     assert abs(ours - theirs) < 2e-3, (ours, theirs)
 
 
-def test_psnr_matches_torchmetrics(pair):
-    torch = pytest.importorskip("torch")
-    tm = pytest.importorskip("torchmetrics")
+def test_psnr_matches_numpy(pair):
     a, b = pair
     ours = float(psnr(jnp.asarray(a), jnp.asarray(b)))
-    crit = tm.PeakSignalNoiseRatio()
-    theirs = float(crit(torch.from_numpy(a), torch.from_numpy(b)))
-    assert abs(ours - theirs) < 1e-3, (ours, theirs)
+    dr = max(a.max(), b.max()) - min(a.min(), b.min())
+    ref = 10 * np.log10(dr ** 2 / np.mean(
+        (a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    assert abs(ours - ref) < 1e-3, (ours, ref)
 
 
 def test_l1_and_identity(pair):
