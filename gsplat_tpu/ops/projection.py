@@ -127,28 +127,36 @@ def project_gaussians(
     norm = jnp.sqrt(x * x + y * y + z * z)
     visible = near_ok & (jnp.abs(xi) < half_width) & (jnp.abs(yi) < half_height)
 
-    # Σ3d = (R S)(R S)ᵀ
-    R = quat_to_rotmat(quat)                       # (N, 3, 3)
-    RS = R * s[:, None, :]                         # scales columns: R @ diag(s)
-    cov3d = jnp.matmul(RS, jnp.swapaxes(RS, 1, 2), precision=hi)  # (N, 3, 3)
-
-    # J W — projective jacobian times world rotation
+    # Σ2d upper-left 2x2 of (J W) Σ3d (J W)ᵀ in closed form — with
+    # Σ3d = (R S)(R S)ᵀ this is aᵢⱼ = mᵢ·mⱼ for m = S Rᵀ (JW rowᵢ).
+    # The projective Jacobian's depth row never touches the 2x2 block, and
+    # everything stays elementwise (a batched-3x3-matmul formulation costs
+    # ~11 ms/step in launch + relayout overhead at 500k gaussians).
     inv_z = 1.0 / zs
-    zero = jnp.zeros_like(inv_z)
-    inv_norm = 1.0 / jnp.maximum(norm, 1e-12)
-    J = jnp.stack(
-        [
-            inv_z, zero, -x * inv_z * inv_z,
-            zero, inv_z, -y * inv_z * inv_z,
-            x * inv_norm, y * inv_norm, z * inv_norm,
-        ],
-        axis=-1,
-    ).reshape(-1, 3, 3)
-    JW = jnp.matmul(J, w2c_rot, precision=hi)      # (N, 3, 3)
-    cov2d_full = jnp.matmul(
-        jnp.matmul(JW, cov3d, precision=hi), jnp.swapaxes(JW, 1, 2),
-        precision=hi)
-    cov2d = cov2d_full[:, :2, :2].reshape(-1, 4)
+    inv_z2x = x * inv_z * inv_z
+    inv_z2y = y * inv_z * inv_z
+    # u = (JW) row 0 = W_row0/z − x/z² · W_row2 ; v analogous with W_row1
+    u = [inv_z * w2c_rot[0, k] - inv_z2x * w2c_rot[2, k] for k in range(3)]
+    v = [inv_z * w2c_rot[1, k] - inv_z2y * w2c_rot[2, k] for k in range(3)]
+    # rotation matrix entries as elementwise expressions (utils/so3.py)
+    qw, qx, qy, qz = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+    r = [
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+         2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+         1 - 2 * (qx * qx + qy * qy)],
+    ]
+    # m_j = s_j · (Rᵀu)_j ; n_j = s_j · (Rᵀv)_j
+    m = [s[:, j] * (r[0][j] * u[0] + r[1][j] * u[1] + r[2][j] * u[2])
+         for j in range(3)]
+    n = [s[:, j] * (r[0][j] * v[0] + r[1][j] * v[1] + r[2][j] * v[2])
+         for j in range(3)]
+    a = m[0] * m[0] + m[1] * m[1] + m[2] * m[2]
+    b = m[0] * n[0] + m[1] * n[1] + m[2] * n[2]
+    d = n[0] * n[0] + n[1] * n[1] + n[2] * n[2]
+    cov2d = jnp.stack([a, b, b, d], axis=-1)
 
     mean2d = jnp.stack([xi, yi], axis=-1)
     return ProjectedGaussians(mean2d=mean2d, depth=norm, cov2d=cov2d, visible=visible)
