@@ -367,16 +367,23 @@ def _bwd_kernel(spec: RasterSpec,
 
         # suffix-color identity for d_alpha (gaussian.cu:709-722):
         # d_alpha = Σ_c g_c·color_g,c·T_g − Σ_c g_c·(out_c − C_incl,c)/(1−α)
-        d_alpha = jnp.zeros((g_dim, spec.px), jnp.float32)
+        # Contracting with the pixel gradient FIRST collapses the three
+        # per-channel cumulative sums into one scan:
+        #   Σ_c g_c·C_incl,c = Σ_c g_c·carry_c + cumsum(w·Σ_c g_c·color_c)
+        gc_dot = jnp.zeros((g_dim, spec.px), jnp.float32)
+        gdotout = jnp.zeros((1, spec.px), jnp.float32)
+        carry_gdot = jnp.zeros((1, spec.px), jnp.float32)
         chunk_color_rows = []
         for ch in range(3):
             gout_c = grad_img_ref[0, ch:ch + 1, :]  # (1, Px)
-            out_c = out_img_ref[0, ch:ch + 1, :]
-            wc = w * cols[ch]
-            c_incl = ccarry_ref[ch:ch + 1, :] + _cumsum_incl_sublanes(wc)
-            d_alpha += gout_c * cols[ch] * trans
-            d_alpha -= gout_c * (out_c - c_incl) / (one_m + ALPHA_EPS)
-            chunk_color_rows.append(jnp.sum(wc, axis=0, keepdims=True))
+            gc_dot += gout_c * cols[ch]
+            gdotout += gout_c * out_img_ref[0, ch:ch + 1, :]
+            carry_gdot += gout_c * ccarry_ref[ch:ch + 1, :]
+            chunk_color_rows.append(jnp.sum(w * cols[ch], axis=0,
+                                            keepdims=True))
+        c_incl_dot = carry_gdot + _cumsum_incl_sublanes(w * gc_dot)
+        d_alpha = gc_dot * trans \
+            - (gdotout - c_incl_dot) / (one_m + ALPHA_EPS)
         d_alpha = jnp.where(live, d_alpha, 0.0)
         # no gradient through the degenerate-numerics alpha clamp
         d_alpha = jnp.where(prob * opa < 0.9999, d_alpha, 0.0)
