@@ -249,47 +249,44 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
 # channel packing (with a gather-only custom backward)
 # ---------------------------------------------------------------------------
 
-def _take_rows8(tab, idx):
-    """Row gather in 8-column strips.
-
-    Measured on TPU: gathers with 32-byte rows run ~6x faster than 64-byte
-    rows (5 ns vs 30 ns per row), so wide-channel gathers are strip-mined.
-    """
-    c = tab.shape[1]
-    if c <= 8:
-        return jnp.take(tab, idx, axis=0)
-    strips = [jnp.take(tab[:, i:i + 8], idx, axis=0) for i in range(0, c, 8)]
-    return jnp.concatenate(strips, axis=1)
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _gather_rows(chan, aligned_idx, slot_valid, slot_of_pair, inv_order,
+def _gather_rows(chans, aligned_idx, slot_valid, slot_of_pair, inv_order,
                  k_width):
-    rows = _take_rows8(chan, aligned_idx)
-    return rows * slot_valid[:, None].astype(rows.dtype)
+    """Gather per-pair channel groups into aligned slots.
+
+    ``chans`` is a tuple of (N, <=8)-column groups: 32-byte rows gather ~6x
+    faster than 64-byte rows on TPU, and keeping groups as separate arrays
+    end-to-end (instead of slicing one wide array) avoids a ~28 ms layout
+    conversion between gather outputs and pallas block inputs.
+    """
+    v = slot_valid[:, None]
+    return tuple(jnp.take(c, aligned_idx, axis=0) * v.astype(c.dtype)
+                 for c in chans)
 
 
-def _gather_rows_fwd(chan, aligned_idx, slot_valid, slot_of_pair, inv_order,
+def _gather_rows_fwd(chans, aligned_idx, slot_valid, slot_of_pair, inv_order,
                      k_width):
-    out = _gather_rows(chan, aligned_idx, slot_valid, slot_of_pair,
+    out = _gather_rows(chans, aligned_idx, slot_valid, slot_of_pair,
                        inv_order, k_width)
-    return out, (chan.shape[0], aligned_idx, slot_valid, slot_of_pair,
+    return out, (chans[0].shape[0], aligned_idx, slot_valid, slot_of_pair,
                  inv_order)
 
 
-def _gather_rows_bwd(k_width, res, g):
+def _gather_rows_bwd(k_width, res, gs):
     n, aligned_idx, slot_valid, slot_of_pair, inv_order = res
-    s = g.shape[0]
-    pair_ok = slot_of_pair >= 0
+    s = gs[0].shape[0]
+    pair_ok = (slot_of_pair >= 0)[:, None]
     safe = jnp.clip(slot_of_pair, 0, s - 1)
-    gp = _take_rows8(g, safe) * pair_ok[:, None].astype(g.dtype)
-    # reduce candidates per DEPTH ROW, then permute back to original order
-    grad_rows = gp.reshape(n, k_width, g.shape[1]).sum(axis=1)
-    grad_chan = _take_rows8(grad_rows, inv_order)
+    grads = []
+    for g in gs:
+        gp = jnp.take(g, safe, axis=0) * pair_ok.astype(g.dtype)
+        # reduce candidates per DEPTH ROW, then back to original order
+        grad_rows = gp.reshape(n, k_width, g.shape[1]).sum(axis=1)
+        grads.append(jnp.take(grad_rows, inv_order, axis=0))
     import numpy as _np
 
     z = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
-    return (grad_chan, z(aligned_idx), z(slot_valid), z(slot_of_pair),
+    return (tuple(grads), z(aligned_idx), z(slot_valid), z(slot_of_pair),
             z(inv_order))
 
 
@@ -297,20 +294,27 @@ _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def pack_pairs(binned: BinnedPairs, proj: ProjectedGaussians, opa, color):
-    """Gather per-pair channel data into the (S, C) packed layout.
+    """Gather per-pair channel data into (S, 8)-group packed layout.
 
-    Channel columns: [x, y, cov_a, cov_b, cov_c, cov_d, opa, color...]
-    padded to a multiple of 8.  One fused (S, C) row gather; the backward is
-    gather-only (see module docstring) — the pair→gaussian gradient
-    reduction the CUDA backward implements with warp shuffles + atomics
-    (``gaussian.cu:676-772``) becomes a (N, K, C) reshape-sum.
+    Returns (geom, colors): geom columns [x, y, cov_a, cov_b, cov_c, cov_d,
+    opa, 0]; colors padded to a multiple of 8.  The backward is gather-only
+    (see _gather_rows) — the pair->gaussian gradient reduction the CUDA
+    backward implements with warp shuffles + atomics (gaussian.cu:676-772)
+    becomes reshape-sums plus an inverse-permutation gather.
     """
-    c = 7 + color.shape[1]
-    c_pad = -c % 8
-    chan = jnp.concatenate(
-        [proj.mean2d, proj.cov2d, opa[:, None], color]
-        + ([jnp.zeros((opa.shape[0], c_pad), opa.dtype)] if c_pad else []),
-        axis=1)                                        # (N, C_pad)
-    k_width = binned.slot_of_pair.shape[0] // chan.shape[0]
-    return _gather_rows(chan, binned.aligned_idx, binned.slot_valid,
-                        binned.slot_of_pair, binned.inv_order, k_width)
+    n = opa.shape[0]
+    geom = jnp.concatenate(
+        [proj.mean2d, proj.cov2d, opa[:, None],
+         jnp.zeros((n, 1), opa.dtype)], axis=1)        # (N, 8)
+    c_pad = -color.shape[1] % 8
+    col = jnp.concatenate(
+        [color] + ([jnp.zeros((n, c_pad), color.dtype)] if c_pad else []),
+        axis=1)
+    col_groups = tuple(col[:, i:i + 8] for i in range(0, col.shape[1], 8))
+    k_width = binned.slot_of_pair.shape[0] // n
+    out = _gather_rows((geom,) + col_groups, binned.aligned_idx,
+                       binned.slot_valid, binned.slot_of_pair,
+                       binned.inv_order, k_width)
+    geom_s = out[0]
+    colors_s = jnp.concatenate(out[1:], axis=1) if len(out) > 2 else out[1]
+    return geom_s, colors_s

@@ -77,10 +77,9 @@ class RasterSpec(NamedTuple):
         return self.n_tile_y * self.tile_h
 
     @property
-    def c_rows(self) -> int:
-        """Packed channel columns: x, y, cov(4), opa, colors — padded to 8."""
-        c = 7 + self.color_dim
-        return c + (-c % 8)
+    def c_col(self) -> int:
+        """Color-group columns, padded to a multiple of 8."""
+        return self.color_dim + (-self.color_dim % 8)
 
 
 # ---------------------------------------------------------------------------
@@ -140,7 +139,7 @@ def _sh_pixel_basis(spec: RasterSpec, tile, shv):
 
 
 def _chunk_alpha(spec: RasterSpec, pxc, pyc, g):
-    """(G, Px) alpha plane from a packed (G, C) chunk.
+    """(G, Px) alpha plane from a packed geometry (G, 8) chunk.
 
     Returns (alpha, prob, aux) where aux carries the per-chunk columns
     needed by the backward pass.
@@ -196,13 +195,14 @@ def _cumsum_incl_sublanes(x):
     return cs
 
 
-def _chunk_colors(spec: RasterSpec, g, shb):
-    """Per-gaussian colors for a chunk: list of 3 arrays, (G, 1) or (G, Px)."""
+def _chunk_colors(spec: RasterSpec, gc, shb):
+    """Per-gaussian colors from the (G, c_col) color chunk: 3 arrays of
+    (G, 1) or (G, Px)."""
     if spec.color_dim == 3:
-        return [g[:, 7 + ch:8 + ch] for ch in range(3)]
+        return [gc[:, ch:ch + 1] for ch in range(3)]
     cols = []
     for ch in range(3):
-        coeff = g[:, 7 + 9 * ch:7 + 9 * (ch + 1)]   # (G, 9)
+        coeff = gc[:, 9 * ch:9 * (ch + 1)]          # (G, 9)
         logits = jax.lax.dot_general(
             coeff, shb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -222,7 +222,7 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
     """Chunk-sequential compositing with lax.scan.
 
     Args:
-      packed: (S, C) channel-packed pair data (S = NC * G).
+      packed: tuple (geom (S, 8), colors (S, c_col)) pair data (S = NC*G).
       chunk_tile: (NC,) tile id per chunk.
       chunk_first: (NC,) bool.
       sh_vecs: (4, 3) [rays_o, lefttop, dx, dy] when color_dim == 27.
@@ -231,11 +231,13 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
     dead-chunk sentinel.
     """
     nc = chunk_tile.shape[0]
-    g_all = packed.reshape(nc, spec.chunk_size, spec.c_rows)
+    geom, colarr = packed
+    g_all = geom.reshape(nc, spec.chunk_size, 8)
+    c_all = colarr.reshape(nc, spec.chunk_size, spec.c_col)
 
     def body(carry, inp):
         accum = carry                               # (1, Px)
-        g, tile, first = inp
+        (g, gc), tile, first = inp
         accum = jnp.where(first, jnp.ones_like(accum), accum)
         active = tile < spec.n_tiles
         safe_tile = jnp.minimum(tile, spec.n_tiles - 1)
@@ -247,7 +249,7 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
         w = jnp.where(live, alpha * trans, 0.0)     # (G, Px)
         shb = _sh_pixel_basis(spec, safe_tile, sh_vecs) \
             if spec.color_dim != 3 else None
-        cols = _chunk_colors(spec, g, shb)
+        cols = _chunk_colors(spec, gc, shb)
         color = jnp.concatenate(
             [jnp.sum(w * c, axis=0, keepdims=True) for c in cols], axis=0
         )                                           # (3, Px)
@@ -262,7 +264,8 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
 
     init = jnp.ones((1, spec.px), jnp.float32)
     _, (colors, accws) = jax.lax.scan(body, init,
-                                      (g_all, chunk_tile, chunk_first))
+                                      ((g_all, c_all), chunk_tile,
+                                       chunk_first))
     # (NC, 3, Px) / (NC, 1, Px) → per-tile sums
     tiles_color = jax.ops.segment_sum(colors, chunk_tile, spec.n_tiles + 1)
     tiles_accw = jax.ops.segment_sum(accws[:, 0, :], chunk_tile,
@@ -288,7 +291,7 @@ def assemble_image(tiles_color, tiles_accw, spec: RasterSpec):
 
 def _fwd_kernel(spec: RasterSpec,
                 ct_ref, cf_ref, cl_ref, shv_ref,
-                packed_ref, out_ref, accw_out_ref,
+                geom_ref, col_ref, out_ref, accw_out_ref,
                 accum_ref, color_ref, accw_ref):
     i = pl.program_id(0)
     t = ct_ref[i]
@@ -305,15 +308,14 @@ def _fwd_kernel(spec: RasterSpec,
     @pl.when(active)
     def _():
         pxc, pyc = _tile_pixel_coords(spec, t)
-        g = packed_ref[:]                           # (G, C)
-        alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
+        alpha, _, _ = _chunk_alpha(spec, pxc, pyc, geom_ref[:])
         one_m = 1.0 - alpha
         trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
         live = trans >= STOP_THRESH
         w = jnp.where(live, alpha * trans, 0.0)
         shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 \
             else None
-        cols = _chunk_colors(spec, g, shb)
+        cols = _chunk_colors(spec, col_ref[:], shb)
         for ch in range(3):
             color_ref[ch:ch + 1, :] += jnp.sum(w * cols[ch], axis=0,
                                                keepdims=True)
@@ -333,8 +335,8 @@ def _fwd_kernel(spec: RasterSpec,
 
 def _bwd_kernel(spec: RasterSpec,
                 ct_ref, cf_ref, cl_ref, shv_ref,
-                packed_ref, out_img_ref, grad_img_ref,
-                grad_packed_ref,
+                geom_ref, col_ref, out_img_ref, grad_img_ref,
+                grad_geom_ref, grad_col_ref,
                 accum_ref, ccarry_ref):
     i = pl.program_id(0)
     t = ct_ref[i]
@@ -349,13 +351,13 @@ def _bwd_kernel(spec: RasterSpec,
 
     @pl.when(jnp.logical_not(active))
     def _():
-        grad_packed_ref[:] = jnp.zeros((g_dim, spec.c_rows), jnp.float32)
+        grad_geom_ref[:] = jnp.zeros((g_dim, 8), jnp.float32)
+        grad_col_ref[:] = jnp.zeros((g_dim, spec.c_col), jnp.float32)
 
     @pl.when(active)
     def _():
         pxc, pyc = _tile_pixel_coords(spec, t)
-        g = packed_ref[:]
-        alpha, prob, aux = _chunk_alpha(spec, pxc, pyc, g)
+        alpha, prob, aux = _chunk_alpha(spec, pxc, pyc, geom_ref[:])
         dx, dy, a, b, c, d, opa, pm, pn = aux
         one_m = 1.0 - alpha
         trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
@@ -363,7 +365,7 @@ def _bwd_kernel(spec: RasterSpec,
         w = jnp.where(live, alpha * trans, 0.0)
         shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 \
             else None
-        cols = _chunk_colors(spec, g, shb)
+        cols = _chunk_colors(spec, col_ref[:], shb)
 
         # suffix-color identity for d_alpha (gaussian.cu:709-722):
         # d_alpha = Σ_c g_c·color_g,c·T_g − Σ_c g_c·(out_c − C_incl,c)/(1−α)
@@ -400,7 +402,8 @@ def _bwd_kernel(spec: RasterSpec,
         dp_dx = prob / pn * (2.0 * d * dx - (b + c) * dy)
         dp_dy = prob / pn * (2.0 * a * dy - (b + c) * dx)
 
-        cols_out = [
+        zero_col = jnp.zeros((g_dim, 1), jnp.float32)
+        grad_geom_ref[:] = jnp.concatenate([
             jnp.sum(d_prob * dp_dx, axis=1, keepdims=True),
             jnp.sum(d_prob * dp_dy, axis=1, keepdims=True),
             jnp.sum(d_prob * dp_da, axis=1, keepdims=True),
@@ -408,11 +411,13 @@ def _bwd_kernel(spec: RasterSpec,
             jnp.sum(d_prob * dp_dc, axis=1, keepdims=True),
             jnp.sum(d_prob * dp_dd, axis=1, keepdims=True),
             d_opa,
-        ]
+            zero_col,
+        ], axis=1)
+        col_out = []
         if spec.color_dim == 3:
             for ch in range(3):
-                cols_out.append(jnp.sum(grad_img_ref[0, ch:ch + 1, :] * w,
-                                        axis=1, keepdims=True))
+                col_out.append(jnp.sum(grad_img_ref[0, ch:ch + 1, :] * w,
+                                       axis=1, keepdims=True))
         else:
             for ch in range(3):
                 # d logits = g_c · w · σ(1−σ); d coeff = d logits @ SHᵀ
@@ -423,13 +428,13 @@ def _bwd_kernel(spec: RasterSpec,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )                                   # (G, 9)
-                cols_out.append(dcoef)
-        grad = jnp.concatenate(cols_out, axis=1)
-        pad = spec.c_rows - grad.shape[1]
+                col_out.append(dcoef)
+        gcol = jnp.concatenate(col_out, axis=1)
+        pad = spec.c_col - gcol.shape[1]
         if pad:
-            grad = jnp.concatenate(
-                [grad, jnp.zeros((g_dim, pad), jnp.float32)], axis=1)
-        grad_packed_ref[:] = grad
+            gcol = jnp.concatenate(
+                [gcol, jnp.zeros((g_dim, pad), jnp.float32)], axis=1)
+        grad_col_ref[:] = gcol
 
         for ch in range(3):
             ccarry_ref[ch:ch + 1, :] += chunk_color_rows[ch]
@@ -438,13 +443,15 @@ def _bwd_kernel(spec: RasterSpec,
 
 def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
                        chunk_first, chunk_last, interpret=False):
+    geom, colarr = packed
     nc = chunk_tile.shape[0]
     n_rows = spec.n_tiles + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((spec.chunk_size, spec.c_rows), lambda i, *_: (i, 0)),
+            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
+            pl.BlockSpec((spec.chunk_size, spec.c_col), lambda i, *_: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
@@ -466,38 +473,42 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
         out_shape=out_shape,
         interpret=interpret,
     )(chunk_tile, chunk_first.astype(jnp.int32), chunk_last.astype(jnp.int32),
-      sh_vecs, packed)
+      sh_vecs, geom, colarr)
     return tiles, accw[:, 0, :]
 
 
 def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
                        chunk_first, chunk_last, out_tiles, grad_tiles,
                        interpret=False):
+    geom, colarr = packed
     nc = chunk_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((spec.chunk_size, spec.c_rows), lambda i, *_: (i, 0)),
+            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
+            pl.BlockSpec((spec.chunk_size, spec.c_col), lambda i, *_: (i, 0)),
             pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
             pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((spec.chunk_size, spec.c_rows), lambda i, *_: (i, 0)),
+            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
+            pl.BlockSpec((spec.chunk_size, spec.c_col), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, spec.px), jnp.float32),   # accum carry
             pltpu.VMEM((8, spec.px), jnp.float32),   # color carry (incl.)
         ],
     )
-    (grad_packed,) = pl.pallas_call(
+    grad_geom, grad_col = pl.pallas_call(
         functools.partial(_bwd_kernel, spec),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(packed.shape, jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct(geom.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(colarr.shape, jnp.float32)],
         interpret=interpret,
     )(chunk_tile, chunk_first.astype(jnp.int32), chunk_last.astype(jnp.int32),
-      sh_vecs, packed, out_tiles, grad_tiles)
-    return grad_packed
+      sh_vecs, geom, colarr, out_tiles, grad_tiles)
+    return grad_geom, grad_col
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))

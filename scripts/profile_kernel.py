@@ -58,11 +58,12 @@ def fwdbwd(p):
             rspec)
         return jnp.sum(tiles * gkey)
     g = jax.grad(loss)(p)
-    return g[0, 0] + g[-1, 6]
+    return g[0][0, 0] + g[0][-1, 6]
 
 
 def slope(f, name, k1=2, k2=8):
-    packs = [packed0 * (1.0 + 1e-6 * i) for i in range(k2 + k1 + 2)]
+    packs = [jax.tree.map(lambda x: x * (1.0 + 1e-6 * i), packed0)
+             for i in range(k2 + k1 + 2)]
     float(f(packs[0]))
     def run(k, o):
         r = None

@@ -75,7 +75,7 @@ def s_pack(c):
     b = bin_gaussians(p, bspec)
     packed = pack_pairs(b, p, jax.nn.sigmoid(params["opa"]),
                         jax.nn.sigmoid(params["rgb"]))
-    return packed[0, 0] + packed[6, -1] + b.n_pairs.astype(jnp.float32)
+    return packed[0][0, 0] + packed[0][-1, 6] + b.n_pairs.astype(jnp.float32)
 
 
 @jax.jit

@@ -78,9 +78,11 @@ def test_multichunk_sh_pallas_grads(rng):
                                        rspec, shv, interpret=True)
         return jnp.sum(t * gkey)
 
-    gj = np.asarray(jax.grad(lj)(packed))
-    gp = np.asarray(jax.grad(lp)(packed))
-    np.testing.assert_allclose(gp, gj, atol=2e-3, rtol=2e-3)
+    gj = jax.grad(lj)(packed)
+    gp = jax.grad(lp)(packed)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
 
 
 def test_multichunk_pallas_grads(rng):
@@ -104,6 +106,6 @@ def test_multichunk_pallas_grads(rng):
     vj, gj = jax.value_and_grad(lj)(packed)
     vp, gp = jax.value_and_grad(lp)(packed)
     np.testing.assert_allclose(float(vp), float(vj), rtol=1e-5)
-    gj, gp = np.asarray(gj), np.asarray(gp)
-    np.testing.assert_allclose(gp, gj, atol=2e-3,
-                               rtol=2e-3)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)

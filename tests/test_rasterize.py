@@ -89,8 +89,9 @@ def test_pallas_grads_match_autodiff(rng):
 
     gj = jax.grad(loss_jnp)(packed)
     gp = jax.grad(loss_pallas)(packed)
-    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj),
-                               atol=3e-4, rtol=2e-3)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=2e-3)
 
 
 def test_sh_mode_matches_oracle(rng):
@@ -131,8 +132,9 @@ def test_sh_pallas_matches_jnp(rng):
     vj, gj = jax.value_and_grad(loss_jnp)(packed)
     vp, gp = jax.value_and_grad(loss_pallas)(packed)
     np.testing.assert_allclose(float(vp), float(vj), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj),
-                               atol=3e-4, rtol=2e-3)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=2e-3)
 
 
 def test_weight_normalize_forward(rng):
