@@ -60,6 +60,10 @@ class SplatConfig:
     # grid steps).
     pair_capacity: Optional[int] = None
     pair_factor: float = 3.0
+    # Candidate-plane visible-row budget (None = table capacity); retuned by
+    # the trainer from observed per-view visibility.  Every pair-scale cost
+    # in binning is proportional to this.
+    visible_rows: Optional[int] = None
     # use the pallas kernel (False falls back to the pure-jnp tiled renderer,
     # which is also the test oracle).
     use_pallas: bool = True

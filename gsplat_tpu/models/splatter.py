@@ -138,6 +138,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         chunk_size=cfg.chunk_size,
         method=method,
         thresh=thresh,
+        visible_rows=int(cfg.visible_rows or 0),
     )
     rspec = RasterSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
@@ -171,7 +172,8 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
     binned = bin_gaussians(proj, bspec)
     opa = jax.nn.sigmoid(params["opa"])
     color = params["rgb"] if cfg.use_sh_coeff else jax.nn.sigmoid(params["rgb"])
-    packed = pack_pairs(binned, proj, opa, color)
+    packed = pack_pairs(binned, proj, opa, color,
+                        k_width=bspec.max_tiles_per_gaussian)
     img = rasterize(packed, binned, rspec,
                     sh_vecs=sh_vecs if cfg.use_sh_coeff else None,
                     use_pallas=cfg.use_pallas, interpret=interpret)
@@ -180,6 +182,8 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
         "n_pairs": binned.n_pairs,
         "n_clipped": binned.n_clipped,
         "n_max_tiles": binned.n_max_tiles,
+        "n_visible": binned.n_visible,
+        "n_vis_dropped": binned.n_vis_dropped,
     }
     return img, aux
 
@@ -235,7 +239,8 @@ class Splatter:
 
     def specs(self, grid: TileGrid | None = None):
         grid = grid or self.cameras.grid
-        key = (grid, self.table.capacity, self.cfg.pair_capacity)
+        key = (grid, self.table.capacity, self.cfg.pair_capacity,
+               self.cfg.visible_rows)
         if key not in self._specs_cache:
             self._specs_cache[key] = make_specs(
                 grid, self.table.capacity, self.cfg, self.color_dim)
@@ -255,6 +260,18 @@ class Splatter:
         target = max(int(n_pairs * 1.6), 4096)
         if extra < n_pairs * 1.2 or extra > n_pairs * 3.0:
             self.cfg.pair_capacity = target
+            return True
+        return False
+
+    def retune_visible_rows(self, n_visible: int) -> bool:
+        """Shrink the candidate plane toward observed per-view visibility
+        (plus margin for camera variation and densification growth)."""
+        cap = self.table.capacity
+        cur = int(self.cfg.visible_rows or cap)
+        target = min(max((int(n_visible * 1.35) // 4096 + 1) * 4096, 8192),
+                     cap)
+        if cur < n_visible * 1.1 or cur > target * 1.6:
+            self.cfg.visible_rows = target
             return True
         return False
 

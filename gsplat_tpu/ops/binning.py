@@ -65,6 +65,11 @@ class BinningSpec(NamedTuple):
     chunk_size: int               # G
     method: str = "prob2"         # prob2 | prob | dist
     thresh: float = 0.05
+    # Candidate-plane row budget: only the first `visible_rows` depth-sorted
+    # gaussians enter the plane (invisible ones sort to the back, so on real
+    # scenes 40-60% of rows are dead).  0 = table capacity.  Overflow drops
+    # the FARTHEST visible gaussians and is reported via n_vis_dropped.
+    visible_rows: int = 0
 
     @property
     def n_tiles(self) -> int:
@@ -95,6 +100,8 @@ class BinnedPairs(NamedTuple):
     n_clipped: jnp.ndarray    # ()    pairs dropped by the per-gaussian K cap
     n_dropped: jnp.ndarray    # ()    pairs dropped by slot_capacity overflow
     n_max_tiles: jnp.ndarray  # ()    max tiles covered by any gaussian
+    n_visible: jnp.ndarray    # ()    frustum-visible gaussians
+    n_vis_dropped: jnp.ndarray  # ()  visible gaussians beyond visible_rows
 
 
 def _tile_bbox(spec: BinningSpec, mean2d, cov2d, visible):
@@ -137,18 +144,24 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
     n = proj.depth.shape[0]
     K, G = spec.max_tiles_per_gaussian, spec.chunk_size
     T = spec.n_tiles
-    P = n * K
+    V = spec.visible_rows or n
+    V = min(V, n)
+    P = V * K
     NC, S = spec.num_chunks, spec.num_slots
 
     # ---- 1. depth order (front to back); one fused row gather ----------
+    # Invisible gaussians key to +inf and sort behind all visible ones, so
+    # the candidate plane only needs the first V rows.
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key).astype(jnp.int32)            # (N,)
     inv_order = jnp.argsort(order).astype(jnp.int32)            # (N,)
+    n_visible = jnp.sum(proj.visible)
+    n_vis_dropped = jnp.maximum(n_visible - V, 0)
     packed_fields = jnp.concatenate(
         [proj.mean2d, proj.cov2d,
          proj.visible[:, None].astype(jnp.float32),
          jnp.zeros((n, 1), jnp.float32)], axis=1)               # (N, 8)
-    ordered = jnp.take(packed_fields, order, axis=0)
+    ordered = jnp.take(packed_fields, order[:V], axis=0)
     mean2d, cov2d = ordered[:, :2], ordered[:, 2:6]
     visible = ordered[:, 6] > 0.5
 
@@ -171,7 +184,7 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
         valid = valid & (d2 < spec.thresh)
     n_pairs = jnp.sum(valid)
     pair_tile = jnp.where(valid, tile, T).reshape(P)
-    pair_orig = jnp.broadcast_to(order[:, None], (n, K)).reshape(P)
+    pair_orig = jnp.broadcast_to(order[:V, None], (V, K)).reshape(P)
     flat = jax.lax.iota(jnp.int32, P)
 
     # ---- 3. stable sort by tile (preserves depth order per tile) -------
@@ -242,6 +255,8 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
         n_clipped=n_clipped,
         n_dropped=n_dropped,
         n_max_tiles=n_max_tiles,
+        n_visible=n_visible,
+        n_vis_dropped=n_vis_dropped,
     )
 
 
@@ -275,13 +290,19 @@ def _gather_rows_fwd(chans, aligned_idx, slot_valid, slot_of_pair, inv_order,
 def _gather_rows_bwd(k_width, res, gs):
     n, aligned_idx, slot_valid, slot_of_pair, inv_order = res
     s = gs[0].shape[0]
+    p = slot_of_pair.shape[0]
+    v = p // k_width                 # candidate-plane rows (visible budget)
     pair_ok = (slot_of_pair >= 0)[:, None]
     safe = jnp.clip(slot_of_pair, 0, s - 1)
     grads = []
     for g in gs:
         gp = jnp.take(g, safe, axis=0) * pair_ok.astype(g.dtype)
-        # reduce candidates per DEPTH ROW, then back to original order
-        grad_rows = gp.reshape(n, k_width, g.shape[1]).sum(axis=1)
+        # reduce candidates per DEPTH ROW, pad dropped/invisible rows,
+        # then back to original order
+        grad_rows = gp.reshape(v, k_width, g.shape[1]).sum(axis=1)
+        if v < n:
+            grad_rows = jnp.concatenate(
+                [grad_rows, jnp.zeros((n - v, g.shape[1]), g.dtype)], axis=0)
         grads.append(jnp.take(grad_rows, inv_order, axis=0))
     import numpy as _np
 
@@ -293,7 +314,8 @@ def _gather_rows_bwd(k_width, res, gs):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-def pack_pairs(binned: BinnedPairs, proj: ProjectedGaussians, opa, color):
+def pack_pairs(binned: BinnedPairs, proj: ProjectedGaussians, opa, color,
+               k_width: int | None = None):
     """Gather per-pair channel data into (S, 8)-group packed layout.
 
     Returns (geom, colors): geom columns [x, y, cov_a, cov_b, cov_c, cov_d,
@@ -311,7 +333,9 @@ def pack_pairs(binned: BinnedPairs, proj: ProjectedGaussians, opa, color):
         [color] + ([jnp.zeros((n, c_pad), color.dtype)] if c_pad else []),
         axis=1)
     col_groups = tuple(col[:, i:i + 8] for i in range(0, col.shape[1], 8))
-    k_width = binned.slot_of_pair.shape[0] // n
+    if k_width is None:
+        # default: full-table candidate plane (P = N*K)
+        k_width = binned.slot_of_pair.shape[0] // n
     out = _gather_rows((geom,) + col_groups, binned.aligned_idx,
                        binned.slot_valid, binned.slot_of_pair,
                        binned.inv_order, k_width)

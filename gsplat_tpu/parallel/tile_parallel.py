@@ -68,7 +68,8 @@ def make_tile_sharded_render(grid: TileGrid, cfg, capacity: int,
         opa = jax.nn.sigmoid(params["opa"])
         color = params["rgb"] if cfg.use_sh_coeff else jax.nn.sigmoid(
             params["rgb"])
-        packed = pack_pairs(binned, proj, opa, color)
+        packed = pack_pairs(binned, proj, opa, color,
+                            k_width=bspec.max_tiles_per_gaussian)
         shv_band = shv.at[1].add(row0.astype(jnp.float32) * shv[3])
         img = rasterize(packed, binned, rspec,
                         sh_vecs=shv_band if cfg.use_sh_coeff else None,

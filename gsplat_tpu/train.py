@@ -138,6 +138,7 @@ def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False):
         metrics = dict(metrics, n_pairs=aux["n_pairs"],
                        n_clipped=aux["n_clipped"],
                        n_max_tiles=aux["n_max_tiles"],
+                       n_visible=aux["n_visible"],
                        grad_mean={k: jnp.mean(jnp.abs(grads[k]))
                                   for k in GROUP_ORDER})
         return TrainState(new_params, st.live, new_opt, accum, counter), metrics
@@ -185,7 +186,8 @@ def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False):
                 counter = jnp.ones_like(counter0)
             metrics = dict(metrics, n_pairs=aux["n_pairs"],
                            n_clipped=aux["n_clipped"],
-                           n_max_tiles=aux["n_max_tiles"])
+                           n_max_tiles=aux["n_max_tiles"],
+                           n_visible=aux["n_visible"])
             return (TrainState(new_params, st.live, new_opt, accum, counter),
                     metrics)
 
@@ -354,6 +356,8 @@ class Trainer:
         if getattr(self, "_last_metrics", None) is not None:
             retuned = self.splat.retune_pair_capacity(
                 int(self._last_metrics["n_pairs"]))
+            retuned = self.splat.retune_visible_rows(
+                int(self._last_metrics["n_visible"])) or retuned
         if grown or retuned:
             self._rebuild_after_capacity_change()
         tbl = self.splat.table
