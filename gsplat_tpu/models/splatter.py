@@ -30,11 +30,7 @@ import numpy as np
 
 from gsplat_tpu.config import SplatConfig
 from gsplat_tpu.models.camera import TileGrid, ray_info
-from gsplat_tpu.models.gaussians import (
-    GaussianTable,
-    grow_capacity,
-    init_from_points,
-)
+from gsplat_tpu.models.gaussians import grow_capacity, init_from_points
 from gsplat_tpu.ops.binning import BinningSpec, bin_gaussians, pack_pairs
 from gsplat_tpu.ops.projection import project_gaussians
 from gsplat_tpu.ops.rasterize import RasterSpec, rasterize

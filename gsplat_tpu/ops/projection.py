@@ -28,8 +28,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gsplat_tpu.utils.so3 import quat_to_rotmat
-
 EPS = 1e-4  # reference splatter.py:19
 
 

@@ -14,7 +14,6 @@ visibility counter, so densification thresholds keep the single-chip scale.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -23,8 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from gsplat_tpu.config import SplatConfig, TrainConfig
-from gsplat_tpu.train import AdamState, GROUP_ORDER, TrainState, adam_update, \
-    init_adam, make_loss_fn
+from gsplat_tpu.train import AdamState, GROUP_ORDER, TrainState, \
+    adam_update, make_loss_fn
 
 
 class DPCameras(NamedTuple):

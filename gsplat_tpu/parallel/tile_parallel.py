@@ -16,7 +16,6 @@ exact; the SH lefttop vector is shifted by the same rows
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

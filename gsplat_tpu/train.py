@@ -19,7 +19,6 @@ losses, adaptive-control cadence), built TPU-first:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import functools
 import os
 import time
@@ -30,11 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsplat_tpu.config import SplatConfig, TrainConfig
-from gsplat_tpu.models.gaussians import (
-    DensifyStats,
-    adaptive_control,
-    reset_opacity,
-)
+from gsplat_tpu.models.gaussians import adaptive_control, reset_opacity
 from gsplat_tpu.models.splatter import Splatter, render_cropped
 from gsplat_tpu.ops.losses import l1_loss, psnr, ssim
 from gsplat_tpu.utils.checkpoint import save_checkpoint
