@@ -305,7 +305,10 @@ def _fwd_kernel(spec: RasterSpec,
         color_ref[:] = jnp.zeros_like(color_ref)
         accw_ref[:] = jnp.zeros_like(accw_ref)
 
-    @pl.when(active)
+    # chunk-level early termination: when every pixel of the tile is below
+    # the stop threshold, later chunks contribute nothing (the CUDA
+    # per-pixel break at chunk granularity, gaussian.cu:906)
+    @pl.when(active & (jnp.max(accum_ref[:]) >= STOP_THRESH))
     def _():
         pxc, pyc = _tile_pixel_coords(spec, t)
         alpha, _, _ = _chunk_alpha(spec, pxc, pyc, geom_ref[:])
@@ -349,12 +352,14 @@ def _bwd_kernel(spec: RasterSpec,
         accum_ref[:] = jnp.ones_like(accum_ref)
         ccarry_ref[:] = jnp.zeros_like(ccarry_ref)
 
-    @pl.when(jnp.logical_not(active))
+    do_compute = active & (jnp.max(accum_ref[:]) >= STOP_THRESH)
+
+    @pl.when(jnp.logical_not(do_compute))
     def _():
         grad_geom_ref[:] = jnp.zeros((g_dim, 8), jnp.float32)
         grad_col_ref[:] = jnp.zeros((g_dim, spec.c_col), jnp.float32)
 
-    @pl.when(active)
+    @pl.when(do_compute)
     def _():
         pxc, pyc = _tile_pixel_coords(spec, t)
         alpha, prob, aux = _chunk_alpha(spec, pxc, pyc, geom_ref[:])
