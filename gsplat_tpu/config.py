@@ -45,7 +45,7 @@ class SplatConfig:
     # Gaussian-chunk length processed per pallas grid step (the VMEM staging
     # analogue of the reference's SMSIZE shared-memory chunks,
     # gaussian.cu:998-1022).  Must be a multiple of 128 (TPU lanes).
-    chunk_size: int = 256
+    chunk_size: int = 128
     # Tile shape in pixels.  16x16 matches the reference block size
     # (gaussian.cu:993-996); the pallas kernel flattens the 256 pixels into
     # the sublane axis, so any (th, tw) with th*tw % 8 == 0 works.

@@ -559,7 +559,7 @@ def build_argparser():
                    default=t.adaptive_control_end_iter)
     # TPU-specific
     p.add_argument("--use_pallas", type=int, default=1)
-    p.add_argument("--chunk_size", type=int, default=256)
+    p.add_argument("--chunk_size", type=int, default=128)
     p.add_argument("--max_tiles_per_gaussian", type=int, default=8)
     p.add_argument("--capacity_round", type=int, default=65536,
                    help="gaussian table capacity bucket (smaller for tiny "
