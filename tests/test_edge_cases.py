@@ -1,0 +1,78 @@
+"""Degenerate inputs: empty scenes, all-culled views, single gaussian.
+
+The reference handles the zero-gaussian case with explicit early returns
+(splatter.py:563-564, 588-589); the padded-static design must handle them
+through the same code path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.ops.binning import bin_gaussians, pack_pairs
+from gsplat_tpu.ops.projection import ProjectedGaussians
+from gsplat_tpu.ops.rasterize import rasterize
+
+from helpers import image_space_scene
+
+
+def test_all_invisible(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=40)
+    proj = proj._replace(visible=jnp.zeros_like(proj.visible))
+    binned = bin_gaussians(proj, bspec)
+    assert int(binned.n_pairs) == 0
+    img = rasterize(pack_pairs(binned, proj, opa, color,
+                               k_width=bspec.max_tiles_per_gaussian),
+                    binned, rspec, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(img), 0.0)
+
+
+def test_all_invisible_grads_zero(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=40)
+    proj = proj._replace(visible=jnp.zeros_like(proj.visible))
+    binned = bin_gaussians(proj, bspec)
+
+    def loss(opa_, color_):
+        packed = pack_pairs(binned, proj, opa_, color_,
+                            k_width=bspec.max_tiles_per_gaussian)
+        return jnp.sum(rasterize(packed, binned, rspec, use_pallas=False))
+
+    g = jax.grad(loss, argnums=(0, 1))(opa, color)
+    for gi in g:
+        np.testing.assert_array_equal(np.asarray(gi), 0.0)
+
+
+def test_single_gaussian(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=1)
+    proj = proj._replace(visible=jnp.ones_like(proj.visible),
+                         mean2d=jnp.zeros_like(proj.mean2d))
+    binned = bin_gaussians(proj, bspec)
+    assert int(binned.n_pairs) >= 1
+    img = np.asarray(rasterize(
+        pack_pairs(binned, proj, opa, color,
+                   k_width=bspec.max_tiles_per_gaussian),
+        binned, rspec, use_pallas=False))
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_zero_opacity_renders_black(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=30)
+    binned = bin_gaussians(proj, bspec)
+    img = rasterize(pack_pairs(binned, proj, jnp.zeros_like(opa), color,
+                               k_width=bspec.max_tiles_per_gaussian),
+                    binned, rspec, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(img), 0.0, atol=1e-7)
+
+
+def test_degenerate_covariance(rng):
+    """Zero/negative-det covariances must neither bin nor NaN."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=20)
+    bad_cov = jnp.tile(jnp.asarray([[0.0, 0.0, 0.0, 0.0]], jnp.float32),
+                       (20, 1))
+    proj = proj._replace(cov2d=bad_cov)
+    binned = bin_gaussians(proj, bspec)
+    assert int(binned.n_pairs) == 0  # det <= 0 rejected (gaussian.cu:226)
+    img = rasterize(pack_pairs(binned, proj, opa, color,
+                               k_width=bspec.max_tiles_per_gaussian),
+                    binned, rspec, use_pallas=False)
+    assert np.isfinite(np.asarray(img)).all()
