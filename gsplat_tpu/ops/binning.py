@@ -92,6 +92,7 @@ class BinnedPairs(NamedTuple):
     chunk_tile: jnp.ndarray   # (NC,) tile id per chunk (n_tiles = unused)
     chunk_first: jnp.ndarray  # (NC,) bool — first chunk of its tile
     chunk_last: jnp.ndarray   # (NC,) bool — last chunk of its tile
+    chunk_len: jnp.ndarray    # (NC,) valid pairs in this chunk (<= G)
     slot_of_pair: jnp.ndarray  # (P,)  aligned slot of each (N,K) candidate,
                                #       -1 for dead candidates (bwd route)
     inv_order: jnp.ndarray     # (N,)  depth row of each original gaussian
@@ -217,6 +218,8 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
     # ---- 5. aligned slots: broadcast src positions, ONE pair gather ----
     base = starts[tile_of_chunk] + chunk_within * G              # (NC,)
     end = starts[tile_of_chunk] + counts[tile_of_chunk]
+    chunk_len = jnp.where(chunk_used,
+                          jnp.clip(end - base, 0, G), 0).astype(jnp.int32)
     gg = jnp.arange(G, dtype=jnp.int32)[None, :]
     src = base[:, None] + gg                                     # (NC, G)
     slot_valid = (chunk_used[:, None] & (src < end[:, None])).reshape(S)
@@ -249,6 +252,7 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
         chunk_tile=chunk_tile,
         chunk_first=chunk_first,
         chunk_last=chunk_last,
+        chunk_len=chunk_len,
         slot_of_pair=slot_of_pair,
         inv_order=inv_order,
         n_pairs=n_pairs,
@@ -274,9 +278,11 @@ def _gather_rows(chans, aligned_idx, slot_valid, slot_of_pair, inv_order,
     end-to-end (instead of slicing one wide array) avoids a ~28 ms layout
     conversion between gather outputs and pallas block inputs.
     """
-    v = slot_valid[:, None]
-    return tuple(jnp.take(c, aligned_idx, axis=0) * v.astype(c.dtype)
-                 for c in chans)
+    # dead-slot masking happens inside the rasterizer kernels via the
+    # per-chunk valid length (saves two (S,8)-scale multiplies per pass);
+    # slot_valid/aligned_idx clamping keep the gathered rows in-bounds.
+    del slot_valid
+    return tuple(jnp.take(c, aligned_idx, axis=0) for c in chans)
 
 
 def _gather_rows_fwd(chans, aligned_idx, slot_valid, slot_of_pair, inv_order,

@@ -217,14 +217,16 @@ def _chunk_colors(spec: RasterSpec, gc, shb):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
-                         sh_vecs=None):
+def composite_chunks_jnp(packed, chunk_tile, chunk_first, chunk_len,
+                         spec: RasterSpec, sh_vecs=None):
     """Chunk-sequential compositing with lax.scan.
 
     Args:
       packed: tuple (geom (S, 8), colors (S, c_col)) pair data (S = NC*G).
       chunk_tile: (NC,) tile id per chunk.
       chunk_first: (NC,) bool.
+      chunk_len: (NC,) valid pairs per chunk (dead slots are masked here —
+        the packed arrays are NOT pre-masked).
       sh_vecs: (4, 3) [rays_o, lefttop, dx, dy] when color_dim == 27.
 
     Returns (tiles_color (T+1, 3, Px), tiles_accw (T+1, Px)); row T is the
@@ -235,14 +237,17 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
     g_all = geom.reshape(nc, spec.chunk_size, 8)
     c_all = colarr.reshape(nc, spec.chunk_size, spec.c_col)
 
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
+
     def body(carry, inp):
         accum = carry                               # (1, Px)
-        (g, gc), tile, first = inp
+        (g, gc), tile, first, ln = inp
         accum = jnp.where(first, jnp.ones_like(accum), accum)
         active = tile < spec.n_tiles
         safe_tile = jnp.minimum(tile, spec.n_tiles - 1)
         pxc, pyc = _tile_pixel_coords(spec, safe_tile)
         alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
+        alpha = jnp.where(gidx < ln, alpha, 0.0)
         one_m = 1.0 - alpha
         trans = _cumprod_excl_sublanes(one_m) * accum
         live = (trans >= STOP_THRESH) & active
@@ -265,7 +270,7 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, spec: RasterSpec,
     init = jnp.ones((1, spec.px), jnp.float32)
     _, (colors, accws) = jax.lax.scan(body, init,
                                       ((g_all, c_all), chunk_tile,
-                                       chunk_first))
+                                       chunk_first, chunk_len))
     # (NC, 3, Px) / (NC, 1, Px) → per-tile sums
     tiles_color = jax.ops.segment_sum(colors, chunk_tile, spec.n_tiles + 1)
     tiles_accw = jax.ops.segment_sum(accws[:, 0, :], chunk_tile,
@@ -290,7 +295,7 @@ def assemble_image(tiles_color, tiles_accw, spec: RasterSpec):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(spec: RasterSpec,
-                ct_ref, cf_ref, cl_ref, shv_ref,
+                ct_ref, cf_ref, cl_ref, clen_ref, shv_ref,
                 geom_ref, col_ref, out_ref, accw_out_ref,
                 accum_ref, color_ref, accw_ref):
     i = pl.program_id(0)
@@ -312,6 +317,8 @@ def _fwd_kernel(spec: RasterSpec,
     def _():
         pxc, pyc = _tile_pixel_coords(spec, t)
         alpha, _, _ = _chunk_alpha(spec, pxc, pyc, geom_ref[:])
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
+        alpha = jnp.where(gidx < clen_ref[i], alpha, 0.0)
         one_m = 1.0 - alpha
         trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
         live = trans >= STOP_THRESH
@@ -337,7 +344,7 @@ def _fwd_kernel(spec: RasterSpec,
 
 
 def _bwd_kernel(spec: RasterSpec,
-                ct_ref, cf_ref, cl_ref, shv_ref,
+                ct_ref, cf_ref, cl_ref, clen_ref, shv_ref,
                 geom_ref, col_ref, out_img_ref, grad_img_ref,
                 grad_geom_ref, grad_col_ref,
                 accum_ref, ccarry_ref):
@@ -364,6 +371,9 @@ def _bwd_kernel(spec: RasterSpec,
         pxc, pyc = _tile_pixel_coords(spec, t)
         alpha, prob, aux = _chunk_alpha(spec, pxc, pyc, geom_ref[:])
         dx, dy, a, b, c, d, opa, pm, pn = aux
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
+        slot_ok = gidx < clen_ref[i]
+        alpha = jnp.where(slot_ok, alpha, 0.0)
         one_m = 1.0 - alpha
         trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
         live = trans >= STOP_THRESH
@@ -391,7 +401,7 @@ def _bwd_kernel(spec: RasterSpec,
         c_incl_dot = carry_gdot + _cumsum_incl_sublanes(w * gc_dot)
         d_alpha = gc_dot * trans \
             - (gdotout - c_incl_dot) / (one_m + ALPHA_EPS)
-        d_alpha = jnp.where(live, d_alpha, 0.0)
+        d_alpha = jnp.where(live & slot_ok, d_alpha, 0.0)
         # no gradient through the degenerate-numerics alpha clamp
         d_alpha = jnp.where(prob * opa < 0.9999, d_alpha, 0.0)
 
@@ -447,12 +457,12 @@ def _bwd_kernel(spec: RasterSpec,
 
 
 def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
-                       chunk_first, chunk_last, interpret=False):
+                       chunk_first, chunk_last, chunk_len, interpret=False):
     geom, colarr = packed
     nc = chunk_tile.shape[0]
     n_rows = spec.n_tiles + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nc,),
         in_specs=[
             pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
@@ -478,17 +488,17 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
         out_shape=out_shape,
         interpret=interpret,
     )(chunk_tile, chunk_first.astype(jnp.int32), chunk_last.astype(jnp.int32),
-      sh_vecs, geom, colarr)
+      chunk_len, sh_vecs, geom, colarr)
     return tiles, accw[:, 0, :]
 
 
 def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
-                       chunk_first, chunk_last, out_tiles, grad_tiles,
-                       interpret=False):
+                       chunk_first, chunk_last, chunk_len, out_tiles,
+                       grad_tiles, interpret=False):
     geom, colarr = packed
     nc = chunk_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nc,),
         in_specs=[
             pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
@@ -512,25 +522,28 @@ def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
                    jax.ShapeDtypeStruct(colarr.shape, jnp.float32)],
         interpret=interpret,
     )(chunk_tile, chunk_first.astype(jnp.int32), chunk_last.astype(jnp.int32),
-      sh_vecs, geom, colarr, out_tiles, grad_tiles)
+      chunk_len, sh_vecs, geom, colarr, out_tiles, grad_tiles)
     return grad_geom, grad_col
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _raster_pallas(spec: RasterSpec, interpret, packed, sh_vecs, chunk_tile,
-                   chunk_first, chunk_last):
+                   chunk_first, chunk_last, chunk_len):
     tiles, accw = _raster_fwd_pallas(spec, packed, sh_vecs, chunk_tile,
-                                     chunk_first, chunk_last, interpret)
+                                     chunk_first, chunk_last, chunk_len,
+                                     interpret)
     # row n_tiles is the dead-chunk sentinel; the kernel never writes it
     return (tiles[:, :3, :].at[spec.n_tiles].set(0.0),
             accw.at[spec.n_tiles].set(0.0))
 
 
 def _raster_pallas_fwd(spec, interpret, packed, sh_vecs, chunk_tile,
-                       chunk_first, chunk_last):
+                       chunk_first, chunk_last, chunk_len):
     tiles, accw = _raster_fwd_pallas(spec, packed, sh_vecs, chunk_tile,
-                                     chunk_first, chunk_last, interpret)
-    res = (packed, sh_vecs, chunk_tile, chunk_first, chunk_last, tiles)
+                                     chunk_first, chunk_last, chunk_len,
+                                     interpret)
+    res = (packed, sh_vecs, chunk_tile, chunk_first, chunk_last, chunk_len,
+           tiles)
     return (tiles[:, :3, :].at[spec.n_tiles].set(0.0),
             accw.at[spec.n_tiles].set(0.0)), res
 
@@ -542,32 +555,34 @@ def _raster_pallas_bwd(spec, interpret, res, grads):
             "trains with it either (train.py:377 passes False); use the jnp "
             "path for that configuration."
         )
-    packed, sh_vecs, chunk_tile, chunk_first, chunk_last, out_tiles = res
+    packed, sh_vecs, chunk_tile, chunk_first, chunk_last, chunk_len, \
+        out_tiles = res
     g_tiles, _g_accw = grads
     n_rows = spec.n_tiles + 1
     g_full = jnp.zeros((n_rows, 8, spec.px), jnp.float32)
     g_full = g_full.at[:, :3, :].set(g_tiles)
     grad_packed = _raster_bwd_pallas(
         spec, packed, sh_vecs, chunk_tile, chunk_first, chunk_last,
-        out_tiles, g_full, interpret,
+        chunk_len, out_tiles, g_full, interpret,
     )
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (grad_packed, jnp.zeros_like(sh_vecs), f0(chunk_tile),
-            f0(chunk_first), f0(chunk_last))
+            f0(chunk_first), f0(chunk_last), f0(chunk_len))
 
 
 _raster_pallas.defvjp(_raster_pallas_fwd, _raster_pallas_bwd)
 
 
 def composite_chunks_pallas(packed, chunk_tile, chunk_first, chunk_last,
-                            spec: RasterSpec, sh_vecs=None, interpret=False):
+                            chunk_len, spec: RasterSpec, sh_vecs=None,
+                            interpret=False):
     """Pallas counterpart of :func:`composite_chunks_jnp` (same contract)."""
     if sh_vecs is None:
         sh_vecs = jnp.zeros((4, 3), jnp.float32)
     chunk_first = chunk_first.astype(jnp.int32)
     chunk_last = chunk_last.astype(jnp.int32)
     return _raster_pallas(spec, interpret, packed, sh_vecs, chunk_tile,
-                          chunk_first, chunk_last)
+                          chunk_first, chunk_last, chunk_len)
 
 
 def rasterize(packed, binned, spec: RasterSpec, sh_vecs=None,
@@ -576,10 +591,11 @@ def rasterize(packed, binned, spec: RasterSpec, sh_vecs=None,
     if use_pallas:
         tiles_color, tiles_accw = composite_chunks_pallas(
             packed, binned.chunk_tile, binned.chunk_first, binned.chunk_last,
-            spec, sh_vecs, interpret=interpret,
+            binned.chunk_len, spec, sh_vecs, interpret=interpret,
         )
     else:
         tiles_color, tiles_accw = composite_chunks_jnp(
-            packed, binned.chunk_tile, binned.chunk_first, spec, sh_vecs,
+            packed, binned.chunk_tile, binned.chunk_first, binned.chunk_len,
+            spec, sh_vecs,
         )
     return assemble_image(tiles_color, tiles_accw, spec)

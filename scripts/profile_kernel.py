@@ -46,7 +46,7 @@ gkey = jnp.asarray(np.random.default_rng(0).normal(
 def fwd(p):
     tiles, _ = composite_chunks_pallas(p, binned.chunk_tile,
                                        binned.chunk_first, binned.chunk_last,
-                                       rspec)
+                                       binned.chunk_len, rspec)
     return tiles[0, 0, 0] + tiles[100, 1, 5]
 
 
@@ -55,7 +55,7 @@ def fwdbwd(p):
     def loss(p):
         tiles, _ = composite_chunks_pallas(
             p, binned.chunk_tile, binned.chunk_first, binned.chunk_last,
-            rspec)
+            binned.chunk_len, rspec)
         return jnp.sum(tiles * gkey)
     g = jax.grad(loss)(p)
     return g[0][0, 0] + g[0][-1, 6]

@@ -69,13 +69,14 @@ def test_multichunk_sh_pallas_grads(rng):
 
     def lj(p):
         t, _ = composite_chunks_jnp(p, binned.chunk_tile, binned.chunk_first,
-                                    rspec, shv)
+                                    binned.chunk_len, rspec, shv)
         return jnp.sum(t[:, :3] * gkey)
 
     def lp(p):
         t, _ = composite_chunks_pallas(p, binned.chunk_tile,
                                        binned.chunk_first, binned.chunk_last,
-                                       rspec, shv, interpret=True)
+                                       binned.chunk_len, rspec, shv,
+                                       interpret=True)
         return jnp.sum(t * gkey)
 
     gj = jax.grad(lj)(packed)
@@ -94,13 +95,14 @@ def test_multichunk_pallas_grads(rng):
 
     def lj(p):
         t, _ = composite_chunks_jnp(p, binned.chunk_tile, binned.chunk_first,
-                                    rspec)
+                                    binned.chunk_len, rspec)
         return jnp.sum(t[:, :3] * gkey)
 
     def lp(p):
         t, _ = composite_chunks_pallas(p, binned.chunk_tile,
                                        binned.chunk_first, binned.chunk_last,
-                                       rspec, interpret=True)
+                                       binned.chunk_len, rspec,
+                                       interpret=True)
         return jnp.sum(t * gkey)
 
     vj, gj = jax.value_and_grad(lj)(packed)

@@ -58,10 +58,11 @@ def test_pallas_forward_matches_jnp(rng):
     binned = bin_gaussians(proj, bspec)
     packed = pack_pairs(binned, proj, opa, color)
     tiles_j, accw_j = composite_chunks_jnp(
-        packed, binned.chunk_tile, binned.chunk_first, rspec)
+        packed, binned.chunk_tile, binned.chunk_first, binned.chunk_len,
+        rspec)
     tiles_p, accw_p = composite_chunks_pallas(
         packed, binned.chunk_tile, binned.chunk_first, binned.chunk_last,
-        rspec, interpret=True)
+        binned.chunk_len, rspec, interpret=True)
     np.testing.assert_allclose(np.asarray(tiles_p), np.asarray(tiles_j[:, :3]),
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(accw_p), np.asarray(accw_j),
@@ -78,13 +79,14 @@ def test_pallas_grads_match_autodiff(rng):
 
     def loss_jnp(p):
         tiles, _ = composite_chunks_jnp(p, binned.chunk_tile,
-                                        binned.chunk_first, rspec)
+                                        binned.chunk_first,
+                                        binned.chunk_len, rspec)
         return jnp.sum(tiles[:, :3] * gkey)
 
     def loss_pallas(p):
         tiles, _ = composite_chunks_pallas(
             p, binned.chunk_tile, binned.chunk_first, binned.chunk_last,
-            rspec, interpret=True)
+            binned.chunk_len, rspec, interpret=True)
         return jnp.sum(tiles * gkey)
 
     gj = jax.grad(loss_jnp)(packed)
@@ -120,13 +122,14 @@ def test_sh_pallas_matches_jnp(rng):
 
     def loss_jnp(p):
         tiles, _ = composite_chunks_jnp(p, binned.chunk_tile,
-                                        binned.chunk_first, rspec, sh_vecs)
+                                        binned.chunk_first,
+                                        binned.chunk_len, rspec, sh_vecs)
         return jnp.sum(tiles[:, :3] * gkey)
 
     def loss_pallas(p):
         tiles, _ = composite_chunks_pallas(
             p, binned.chunk_tile, binned.chunk_first, binned.chunk_last,
-            rspec, sh_vecs, interpret=True)
+            binned.chunk_len, rspec, sh_vecs, interpret=True)
         return jnp.sum(tiles * gkey)
 
     vj, gj = jax.value_and_grad(loss_jnp)(packed)
@@ -158,7 +161,8 @@ def test_grads_flow_to_gaussian_params(rng):
         p = proj._replace(mean2d=mean2d, cov2d=cov2d)
         packed = pack_pairs(binned, p, opa_, color_)
         tiles, _ = composite_chunks_jnp(packed, binned.chunk_tile,
-                                        binned.chunk_first, rspec)
+                                        binned.chunk_first, binned.chunk_len,
+                                        rspec)
         return jnp.sum(tiles ** 2)
 
     grads = jax.grad(loss, argnums=(0, 1, 2, 3))(
