@@ -34,12 +34,14 @@ long long count_points3d(const char* buf, long long len) {
     if (!read_u64(p, end, n)) return -1;
     // validate by walking the records
     for (uint64_t i = 0; i < n; ++i) {
+        if (end - p < 8 + 24 + 3 + 8) return -1;
         p += 8 + 24 + 3 + 8;  // id + xyz + rgb + error
         uint64_t track;
-        if (p > end || !read_u64(p, end, track)) return -1;
+        if (!read_u64(p, end, track)) return -1;
+        // guard against pointer overflow past `end` on corrupt track lengths
+        if (track > static_cast<uint64_t>(end - p) / 8) return -1;
         p += 8 * track;
     }
-    if (p > end) return -1;
     return static_cast<long long>(n);
 }
 
@@ -71,8 +73,9 @@ int parse_points3d(const char* buf, long long len, float* pos, uint8_t* rgb,
         ids[i] = static_cast<long long>(id);
         uint64_t track;
         std::memcpy(&track, p, 8);
-        p += 8 + 8 * track;
-        if (p > end) return 1;
+        p += 8;
+        if (track > static_cast<uint64_t>(end - p) / 8) return 1;
+        p += 8 * track;
     }
     return 0;
 }
