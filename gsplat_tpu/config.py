@@ -67,6 +67,11 @@ class SplatConfig:
     # use the pallas kernel (False falls back to the pure-jnp tiled renderer,
     # which is also the test oracle).
     use_pallas: bool = True
+    # gather-free data path: the tile sort carries all channel values as
+    # payloads and emits chunk-aligned kernel buffers directly
+    # (ops/binning.pack_sorted).  False = legacy bin_gaussians + pack_pairs
+    # (pair-scale gathers; kept as the cross-check/oracle route).
+    fused_pack: bool = True
 
     @property
     def tile_px(self) -> int:

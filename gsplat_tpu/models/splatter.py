@@ -31,7 +31,8 @@ import numpy as np
 from gsplat_tpu.config import SplatConfig
 from gsplat_tpu.models.camera import TileGrid, ray_info
 from gsplat_tpu.models.gaussians import grow_capacity, init_from_points
-from gsplat_tpu.ops.binning import BinningSpec, bin_gaussians, pack_pairs
+from gsplat_tpu.ops.binning import (BinningSpec, bin_gaussians, pack_pairs,
+                                    pack_sorted)
 from gsplat_tpu.ops.projection import project_gaussians
 from gsplat_tpu.ops.rasterize import RasterSpec, rasterize
 from gsplat_tpu.utils.colmap import read_cameras_binary, read_images_binary, \
@@ -165,11 +166,21 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
         scale_activation=cfg.scale_activation,
     )
     proj = proj._replace(visible=proj.visible & live)
-    binned = bin_gaussians(proj, bspec)
     opa = jax.nn.sigmoid(params["opa"])
     color = params["rgb"] if cfg.use_sh_coeff else jax.nn.sigmoid(params["rgb"])
-    packed = pack_pairs(binned, proj, opa, color,
-                        k_width=bspec.max_tiles_per_gaussian)
+    if getattr(cfg, "fused_pack", True):
+        # gather-free fast path: the tile sort carries the channels and
+        # emits the chunk-aligned kernel buffers directly
+        n = opa.shape[0]
+        geom_n = jnp.concatenate(
+            [proj.mean2d, proj.cov2d, opa[:, None],
+             jnp.zeros((n, 1), opa.dtype)], axis=1)
+        packed, binned = pack_sorted(bspec, geom_n, color, proj.depth,
+                                     proj.visible)
+    else:
+        binned = bin_gaussians(proj, bspec)
+        packed = pack_pairs(binned, proj, opa, color,
+                            k_width=bspec.max_tiles_per_gaussian)
     img = rasterize(packed, binned, rspec,
                     sh_vecs=sh_vecs if cfg.use_sh_coeff else None,
                     use_pallas=cfg.use_pallas, interpret=interpret)
@@ -180,6 +191,7 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
         "n_max_tiles": binned.n_max_tiles,
         "n_visible": binned.n_visible,
         "n_vis_dropped": binned.n_vis_dropped,
+        "n_dropped": binned.n_dropped,
     }
     return img, aux
 

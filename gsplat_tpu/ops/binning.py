@@ -97,6 +97,9 @@ class BinnedPairs(NamedTuple):
                                #       -1 for dead candidates (bwd route)
     inv_order: jnp.ndarray     # (N,)  depth row of each original gaussian
                                #       (inverse of the depth argsort)
+    tile_ok: jnp.ndarray      # (T+1,) bool — tile fully composited within
+                              #       the chunk budget (sentinel row False);
+                              #       truncated tiles' outputs must be zeroed
     n_pairs: jnp.ndarray      # ()    total real pairs (diagnostic)
     n_clipped: jnp.ndarray    # ()    pairs dropped by the per-gaussian K cap
     n_dropped: jnp.ndarray    # ()    pairs dropped by slot_capacity overflow
@@ -204,6 +207,12 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
                                  jnp.cumsum(nchunk_t).astype(jnp.int32)])
     nc_used = chunk_cum[-1]
     n_dropped = jnp.maximum(nc_used - NC, 0)  # tiles past budget (in chunks)
+    # A tile whose chunks don't all fit in the budget never fires its
+    # chunk_last, so the pallas kernels never write (or only partially
+    # composite) its output rows; the consumer must zero those rows
+    # (otherwise uninitialized HBM reaches the loss — see rasterize()).
+    tile_ok = jnp.concatenate(
+        [chunk_cum[1:] <= NC, jnp.zeros((1,), jnp.bool_)])
 
     cids = jnp.arange(NC, dtype=jnp.int32)
     tile_of_chunk = jnp.clip(
@@ -253,6 +262,7 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
         chunk_first=chunk_first,
         chunk_last=chunk_last,
         chunk_len=chunk_len,
+        tile_ok=tile_ok,
         slot_of_pair=slot_of_pair,
         inv_order=inv_order,
         n_pairs=n_pairs,
@@ -262,6 +272,241 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
         n_visible=n_visible,
         n_vis_dropped=n_vis_dropped,
     )
+
+
+# ---------------------------------------------------------------------------
+# fused sorted packing (gather-free fast path)
+# ---------------------------------------------------------------------------
+#
+# The legacy pipeline below (bin_gaussians + pack_pairs) builds the
+# chunk-aligned kernel buffers with one pair-scale row gather forward
+# (~30 ms at Garden scale) and two pair-scale gathers backward (~48 ms).
+# The fast path eliminates every pair-scale gather by making the tile sort
+# itself produce the aligned buffers:
+#
+# 1. a key-only sort of the candidate tile ids yields per-tile counts;
+# 2. each tile's segment is padded to a chunk multiple by injecting
+#    (-count % G) zero-channel pad rows (opa=0 ⇒ alpha=0 ⇒ no-ops), built
+#    as a (T, G-1) broadcast plane — sort payload cost is nearly
+#    payload-count-independent on TPU (PERF.md), while gathers cost
+#    ~7 ns/element;
+# 3. ONE stable payload sort carries all channel values (broadcast to the
+#    candidate plane, i.e. K-axis broadcasts, never gathered) plus the flat
+#    candidate index; its output IS the chunk-aligned buffer;
+# 4. backward: grads arrive per aligned row from the rasterizer; one sort
+#    by the saved flat index restores candidate order, a reshape-sum
+#    reduces the K axis, and an (N,)-scale row gather undoes the depth
+#    ordering.
+#
+# (An element-offset manual-DMA variant — reading unaligned per-tile
+# segments directly inside the kernel — fails to compile: Mosaic requires
+# lane-axis DMA slices to be 128-divisible.  The pad-to-alignment sort
+# achieves the same zero-gather property within those constraints.)
+
+
+class PackedMeta(NamedTuple):
+    """Chunk metadata + diagnostics for the sorted fast path."""
+
+    chunk_tile: jnp.ndarray   # (NC,) tile id per chunk (n_tiles = unused)
+    chunk_first: jnp.ndarray  # (NC,) bool
+    chunk_last: jnp.ndarray   # (NC,) bool
+    chunk_len: jnp.ndarray    # (NC,) valid pairs in this chunk (<= G)
+    tile_ok: jnp.ndarray      # (T+1,) tile fully composited AND non-empty
+    n_pairs: jnp.ndarray
+    n_clipped: jnp.ndarray
+    n_dropped: jnp.ndarray    # chunks past the NC budget
+    n_max_tiles: jnp.ndarray
+    n_visible: jnp.ndarray
+    n_vis_dropped: jnp.ndarray
+
+
+def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
+    """Forward implementation; returns (packed, meta, residuals)."""
+    n = depth.shape[0]
+    K, G, T = spec.max_tiles_per_gaussian, spec.chunk_size, spec.n_tiles
+    V = min(spec.visible_rows or n, n)
+    P = V * K
+    NC, S = spec.num_chunks, spec.num_slots
+    padw = max(G - 1, 1)
+    p_tot = P + T * padw
+    L = max(p_tot, S)
+    c_cols = color_n.shape[1]
+
+    # ---- depth ordering (row-scale gathers only) ------------------------
+    depth_key = jnp.where(visible, depth, jnp.inf)
+    order = jnp.argsort(depth_key).astype(jnp.int32)
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+    n_visible = jnp.sum(visible)
+    n_vis_dropped = jnp.maximum(n_visible - V, 0)
+    geom_o = jnp.take(geom_n, order[:V], axis=0)          # (V, 8)
+    color_o = jnp.take(color_n, order[:V], axis=0)        # (V, c)
+    vis_o = jnp.take(visible, order[:V], axis=0)
+
+    # ---- candidate plane ------------------------------------------------
+    x0, y0, rw, rh = _tile_bbox(spec, geom_o[:, 0:2], geom_o[:, 2:6], vis_o)
+    count = jnp.minimum(rw * rh, K)
+    n_clipped = jnp.sum(jnp.maximum(rw * rh - K, 0))
+    n_max_tiles = jnp.max(rw * rh)
+    kk = jnp.arange(K, dtype=jnp.int32)[None, :]
+    rw_safe = jnp.maximum(rw, 1)[:, None]
+    ky = kk // rw_safe
+    kx = kk - ky * rw_safe
+    tile = (x0[:, None] + kx) + (y0[:, None] + ky) * spec.n_tile_x
+    valid = kk < count[:, None]
+    if spec.method == "dist":
+        tcx = spec.leftmost + (x0[:, None] + kx + 0.5) * spec.tile_len_x
+        tcy = spec.topmost + (y0[:, None] + ky + 0.5) * spec.tile_len_y
+        d2 = ((geom_o[:, 0:1] - tcx) ** 2 + (geom_o[:, 1:2] - tcy) ** 2)
+        valid = valid & (d2 < spec.thresh)
+    n_pairs = jnp.sum(valid)
+    pair_tile = jnp.where(valid, tile, T).reshape(P)
+
+    # ---- key-only sort → per-tile counts + chunk metadata ---------------
+    sorted_key = jax.lax.sort((pair_tile,), num_keys=1, is_stable=False)[0]
+    starts = jnp.searchsorted(sorted_key,
+                              jnp.arange(T + 1, dtype=jnp.int32)
+                              ).astype(jnp.int32)
+    counts = jnp.diff(starts)                              # (T,)
+    nchunk_t = (counts + G - 1) // G                       # 0 for empty tiles
+    chunk_cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(nchunk_t).astype(jnp.int32)])
+    nc_used = chunk_cum[-1]
+    n_dropped = jnp.maximum(nc_used - NC, 0)
+    tile_ok = jnp.concatenate(
+        [(counts > 0) & (chunk_cum[1:] <= NC), jnp.zeros((1,), jnp.bool_)])
+
+    cids = jnp.arange(NC, dtype=jnp.int32)
+    tile_of_chunk = jnp.clip(
+        jnp.searchsorted(chunk_cum, cids, side="right") - 1, 0, T - 1
+    ).astype(jnp.int32)
+    chunk_used = cids < nc_used
+    chunk_tile = jnp.where(chunk_used, tile_of_chunk, T)
+    chunk_within = cids - chunk_cum[tile_of_chunk]
+    chunk_first = chunk_used & (chunk_within == 0)
+    chunk_last = chunk_used & (chunk_within == nchunk_t[tile_of_chunk] - 1)
+    chunk_len = jnp.where(
+        chunk_used,
+        jnp.clip(counts[tile_of_chunk] - chunk_within * G, 0, G),
+        0).astype(jnp.int32)
+
+    # ---- alignment pads: (-count % G) rows per non-empty tile -----------
+    pad_t = jnp.where(counts > 0, (-counts) % G, 0)        # (T,) < G
+    jj = jnp.arange(padw, dtype=jnp.int32)[None, :]
+    pad_keys = jnp.where(jj < pad_t[:, None],
+                         jnp.arange(T, dtype=jnp.int32)[:, None],
+                         T).reshape(T * padw)
+
+    # ---- the payload sort: channels ride the sort -----------------------
+    zpad = jnp.zeros((T * padw,), jnp.float32)
+    key_full = jnp.concatenate([pair_tile, pad_keys])
+    flat_full = jnp.concatenate(
+        [jax.lax.iota(jnp.int32, P), jnp.full((T * padw,), P, jnp.int32)])
+
+    def plane(col):  # (V,) channel → (P_tot,) candidate-plane broadcast
+        return jnp.concatenate(
+            [jnp.broadcast_to(col[:, None], (V, K)).reshape(P), zpad])
+
+    ops = (key_full, flat_full) \
+        + tuple(plane(geom_o[:, j]) for j in range(7)) \
+        + tuple(plane(color_o[:, j]) for j in range(c_cols))
+    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    sorted_flat = out[1]
+
+    def fit(a, fill=0):  # length L, then slice the kernel window [0, S)
+        if p_tot < L:
+            a = jnp.concatenate(
+                [a, jnp.full((L - p_tot,), fill, a.dtype)])
+        return a[:S]
+
+    zcol = jnp.zeros((S,), jnp.float32)
+    geom_s = jnp.stack([fit(out[2 + j]) for j in range(7)] + [zcol], axis=1)
+    c_pad = -c_cols % 8
+    colors_s = jnp.stack(
+        [fit(out[9 + j]) for j in range(c_cols)] + [zcol] * c_pad, axis=1)
+
+    if p_tot < L:
+        sorted_flat = jnp.concatenate(
+            [sorted_flat, jnp.full((L - p_tot,), P, jnp.int32)])
+
+    meta = PackedMeta(
+        chunk_tile=chunk_tile, chunk_first=chunk_first,
+        chunk_last=chunk_last, chunk_len=chunk_len, tile_ok=tile_ok,
+        n_pairs=n_pairs, n_clipped=n_clipped, n_dropped=n_dropped,
+        n_max_tiles=n_max_tiles, n_visible=n_visible,
+        n_vis_dropped=n_vis_dropped,
+    )
+    return (geom_s, colors_s), meta, (sorted_flat, inv_order)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pack_sorted(spec: BinningSpec, geom_n, color_n, depth, visible):
+    """Depth-order, bin, align and pack in one sort — zero pair-scale gathers.
+
+    Args:
+      spec: static binning configuration.
+      geom_n: (N, 8) [x, y, cov_a, cov_b, cov_c, cov_d, opa, 0] original order.
+      color_n: (N, C) colors / SH coefficients (C = 3 or 27).
+      depth: (N,) camera depth (ordering only — no gradient, matching the
+        reference whose draw backward never writes a depth grad,
+        gaussian.cu:785-786).
+      visible: (N,) bool frustum mask.
+
+    Returns (packed, meta): packed = (geom (S, 8), colors (S, ceil8(C)))
+    chunk-aligned buffers with the same contract as :func:`pack_pairs`,
+    meta = :class:`PackedMeta`.
+    """
+    packed, meta, _ = _pack_sorted_impl(spec, geom_n, color_n, depth, visible)
+    return packed, meta
+
+
+def _pack_sorted_fwd(spec, geom_n, color_n, depth, visible):
+    packed, meta, res = _pack_sorted_impl(spec, geom_n, color_n, depth,
+                                          visible)
+    n = geom_n.shape[0]
+    return (packed, meta), (res, n, color_n.shape[1], depth, visible)
+
+
+def _pack_sorted_bwd(spec, residuals, cts):
+    (sorted_flat, inv_order), n, c_cols, depth, visible = residuals
+    (g_geom, g_color), _g_meta = cts
+    K, G = spec.max_tiles_per_gaussian, spec.chunk_size
+    S = spec.num_slots
+    L = sorted_flat.shape[0]
+    V = min(spec.visible_rows or n, n)
+    P = V * K
+
+    def unfit(col):  # (S,) cotangent column → (L,)
+        if L > S:
+            col = jnp.concatenate([col, jnp.zeros((L - S,), col.dtype)])
+        return col
+
+    cols = tuple(unfit(g_geom[:, j]) for j in range(7)) \
+        + tuple(unfit(g_color[:, j]) for j in range(c_cols))
+    # one sort inverts the tile sort (pads carry sentinel key P → sort last)
+    out = jax.lax.sort((sorted_flat,) + cols, num_keys=1, is_stable=False)
+
+    def reduce_rows(col):  # candidate order → (V,) depth-row sums
+        return col[:P].reshape(V, K).sum(axis=1)
+
+    rows = [reduce_rows(c) for c in out[1:]]
+    g_geom_rows = jnp.stack(rows[:7] + [jnp.zeros((V,), jnp.float32)], axis=1)
+    g_color_rows = jnp.stack(rows[7:], axis=1)
+
+    def expand(rows_v):  # (V, C) → original order (N, C)
+        if V < n:
+            rows_v = jnp.concatenate(
+                [rows_v, jnp.zeros((n - V,) + rows_v.shape[1:],
+                                   rows_v.dtype)], axis=0)
+        return jnp.take(rows_v, inv_order, axis=0)
+
+    import numpy as _np
+
+    return (expand(g_geom_rows), expand(g_color_rows),
+            jnp.zeros_like(depth),
+            _np.zeros(visible.shape, jax.dtypes.float0))
+
+
+pack_sorted.defvjp(_pack_sorted_fwd, _pack_sorted_bwd)
 
 
 # ---------------------------------------------------------------------------

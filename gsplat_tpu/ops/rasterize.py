@@ -598,4 +598,9 @@ def rasterize(packed, binned, spec: RasterSpec, sh_vecs=None,
             packed, binned.chunk_tile, binned.chunk_first, binned.chunk_len,
             spec, sh_vecs,
         )
+    # zero tiles truncated by the chunk budget (n_dropped > 0) or — on the
+    # fused path — empty tiles: the pallas kernel never (fully) writes
+    # their output rows, so they hold garbage / partial composites
+    tiles_color = jnp.where(binned.tile_ok[:, None, None], tiles_color, 0.0)
+    tiles_accw = jnp.where(binned.tile_ok[:, None], tiles_accw, 0.0)
     return assemble_image(tiles_color, tiles_accw, spec)

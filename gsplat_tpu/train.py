@@ -98,7 +98,8 @@ def make_loss_fn(grid, cfg, tcfg: TrainConfig, bspec, rspec, interpret=False):
             op = jax.nn.sigmoid(params["opa"])
             loss += tcfg.opa_reg * jnp.sum(
                 op * (1 - op) * live) / n_live
-        metrics = {"l1": l1, "ssim": s, "psnr": psnr(img, gt), "loss": loss}
+        metrics = {"l1": l1, "ssim": s, "psnr": psnr(img, gt, data_range=1.0),
+                   "loss": loss}
         return loss, (metrics, aux, img)
 
     return loss_fn
@@ -134,6 +135,8 @@ def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False):
                        n_clipped=aux["n_clipped"],
                        n_max_tiles=aux["n_max_tiles"],
                        n_visible=aux["n_visible"],
+                       n_vis_dropped=aux["n_vis_dropped"],
+                       n_dropped=aux["n_dropped"],
                        grad_mean={k: jnp.mean(jnp.abs(grads[k]))
                                   for k in GROUP_ORDER})
         return TrainState(new_params, st.live, new_opt, accum, counter), metrics
@@ -182,7 +185,9 @@ def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False):
             metrics = dict(metrics, n_pairs=aux["n_pairs"],
                            n_clipped=aux["n_clipped"],
                            n_max_tiles=aux["n_max_tiles"],
-                           n_visible=aux["n_visible"])
+                           n_visible=aux["n_visible"],
+                           n_vis_dropped=aux["n_vis_dropped"],
+                           n_dropped=aux["n_dropped"])
             return (TrainState(new_params, st.live, new_opt, accum, counter),
                     metrics)
 
@@ -206,7 +211,7 @@ def make_eval_step(splat: Splatter, interpret=False):
         gt = splat.cameras.images[cam_idx].astype(jnp.float32) / 255.0
         img, _ = render_cropped(params, live, rot, tran, shv, grid, cfg,
                                 bspec, rspec, interpret)
-        return img, psnr(img, gt), ssim(img, gt, data_range=1.0)
+        return img, psnr(img, gt, data_range=1.0), ssim(img, gt, data_range=1.0)
 
     return eval_step
 
@@ -469,6 +474,21 @@ class Trainer:
                 metrics = (self.train_step(i) if j == i
                            else self.train_window(i, j))
             m = jax.device_get(metrics)
+            # budget overflow is fail-safe (truncated tiles render black,
+            # see ops/rasterize.rasterize) but costs quality — grow the
+            # static budgets immediately rather than waiting for the next
+            # densify boundary
+            if int(m.get("n_dropped", 0)) > 0 or int(
+                    m.get("n_vis_dropped", 0)) > 0:
+                retuned = self.splat.retune_pair_capacity(int(m["n_pairs"]))
+                retuned = self.splat.retune_visible_rows(
+                    int(m["n_visible"])) or retuned
+                if retuned:
+                    log(f"iter {j}: budget overflow "
+                        f"(n_dropped={int(m['n_dropped'])} "
+                        f"n_vis_dropped={int(m['n_vis_dropped'])}) — "
+                        f"retuned specs, recompiling")
+                    self._rebuild_after_capacity_change()
             self.history["l1"].append(float(m["l1"]))
             self.history["psnr"].append(float(m["psnr"]))
             its = (j + 1) / (time.perf_counter() - t_start)

@@ -76,3 +76,23 @@ def test_degenerate_covariance(rng):
                                k_width=bspec.max_tiles_per_gaussian),
                     binned, rspec, use_pallas=False)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_chunk_budget_overflow_fail_safe(rng):
+    """Tiles truncated by the chunk budget must render black, never garbage.
+
+    Regression: with nc_used > NC a truncated tile's chunk_last never fires,
+    so the pallas forward leaves its output rows unwritten (uninitialized
+    HBM).  rasterize() must zero exactly those tiles via binned.tile_ok and
+    report the overflow in n_dropped.
+    """
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=80)
+    # big enough budget first: ground truth
+    big = bin_gaussians(proj, bspec)
+    assert int(big.n_dropped) == 0
+    ref = rasterize(pack_pairs(big, proj, opa, color,
+                               k_width=bspec.max_tiles_per_gaussian),
+                    big, rspec, use_pallas=True, interpret=True)
+
+    # shrink the budget below what the scene needs
+    g = bspec.chunk_size

@@ -1,0 +1,158 @@
+"""Fused sorted packing (gather-free fast path) vs the legacy gather route.
+
+The fast path (ops/binning.pack_sorted) must be numerically identical to
+bin_gaussians + pack_pairs end to end — forward images AND gradients w.r.t.
+every differentiable input — since both feed the same rasterizer kernels.
+Covers RGB and SH, multi-chunk tiles, geometry gradients through the packed
+columns, empty tiles, and chunk-budget truncation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.ops.binning import (bin_gaussians, pack_pairs, pack_sorted)
+from gsplat_tpu.ops.rasterize import rasterize
+
+from helpers import image_space_scene
+
+
+def _geom_n(proj, opa):
+    n = opa.shape[0]
+    return jnp.concatenate(
+        [proj.mean2d, proj.cov2d, opa[:, None],
+         jnp.zeros((n, 1), jnp.float32)], axis=1)
+
+
+def _render_legacy(proj, opa, color, bspec, rspec, **kw):
+    binned = bin_gaussians(proj, bspec)
+    packed = pack_pairs(binned, proj, opa, color,
+                        k_width=bspec.max_tiles_per_gaussian)
+    return rasterize(packed, binned, rspec, **kw), binned
+
+
+def _render_fused(proj, opa, color, bspec, rspec, **kw):
+    packed, meta = pack_sorted(bspec, _geom_n(proj, opa), color,
+                               proj.depth, proj.visible)
+    return rasterize(packed, meta, rspec, **kw), meta
+
+
+def test_fused_matches_legacy_fwd_and_diag(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    a, binned = _render_legacy(proj, opa, color, bspec, rspec,
+                               use_pallas=True, interpret=True)
+    b, meta = _render_fused(proj, opa, color, bspec, rspec,
+                            use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for f in ("n_pairs", "n_clipped", "n_max_tiles", "n_visible",
+              "n_vis_dropped", "n_dropped"):
+        assert int(getattr(binned, f)) == int(getattr(meta, f)), f
+
+
+def test_fused_full_input_grads_match(rng):
+    """Gradients w.r.t. mean2d, cov2d, opa and color all match legacy."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=120)
+    tgt = jnp.asarray(
+        np.random.default_rng(7).uniform(
+            0, 1, (rspec.padded_h, rspec.padded_w, 3)), jnp.float32)
+
+    def loss_legacy(mean2d, cov2d, opa_, color_):
+        p = proj._replace(mean2d=mean2d, cov2d=cov2d)
+        img, _ = _render_legacy(p, opa_, color_, bspec, rspec,
+                                use_pallas=True, interpret=True)
+        return jnp.mean((img - tgt) ** 2)
+
+    def loss_fused(mean2d, cov2d, opa_, color_):
+        p = proj._replace(mean2d=mean2d, cov2d=cov2d)
+        img, _ = _render_fused(p, opa_, color_, bspec, rspec,
+                               use_pallas=True, interpret=True)
+        return jnp.mean((img - tgt) ** 2)
+
+    args = (proj.mean2d, proj.cov2d, opa, color)
+    g1 = jax.grad(loss_legacy, argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g1, g2, ("mean2d", "cov2d", "opa", "color")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5, err_msg=name)
+
+
+def test_fused_multichunk_and_jnp_compositor(rng):
+    """Dense multi-chunk scene; fused buffers feed both compositors."""
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=1500, sigma_px=(4.0, 18.0))
+    opa = opa * 0.5
+    a, _ = _render_legacy(proj, opa, color, bspec, rspec,
+                          use_pallas=True, interpret=True)
+    b, meta = _render_fused(proj, opa, color, bspec, rspec,
+                            use_pallas=True, interpret=True)
+    c, _ = _render_fused(proj, opa, color, bspec, rspec, use_pallas=False)
+    n_chunks_used = int((np.asarray(meta.chunk_tile) < rspec.n_tiles).sum())
+    assert n_chunks_used > 5 * rspec.n_tiles, "scene must be multi-chunk"
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(c), atol=1e-5)
+
+
+def test_fused_sh_grads_match(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=100, color_dim=27)
+    shv = jnp.asarray(np.random.default_rng(3).normal(0, 0.3, (4, 3)),
+                      jnp.float32)
+
+    def loss(render):
+        def f(opa_, color_):
+            img, _ = render(proj, opa_, color_, bspec, rspec,
+                            sh_vecs=shv, use_pallas=True, interpret=True)
+            return jnp.sum(img ** 2)
+        return f
+
+    v1, g1 = jax.value_and_grad(loss(_render_legacy), argnums=(0, 1))(
+        opa, color)
+    v2, g2 = jax.value_and_grad(loss(_render_fused), argnums=(0, 1))(
+        opa, color)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_fused_truncation_fail_safe(rng):
+    """Chunk-budget overflow on the fused path: truncated tiles go black."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=80)
+    small = bspec._replace(slot_capacity=3 * bspec.chunk_size)
+    img, meta = _render_fused(proj, opa, color, small, rspec,
+                              use_pallas=True, interpret=True)
+    assert int(meta.n_dropped) > 0
+    arr = np.asarray(img)
+    assert np.isfinite(arr).all()
+    tile_ok = np.asarray(meta.tile_ok)
+    th, tw = rspec.tile_h, rspec.tile_w
+    ref, _ = _render_fused(proj, opa, color, bspec, rspec,
+                           use_pallas=True, interpret=True)
+    refarr = np.asarray(ref)
+    for t in range(rspec.n_tiles):
+        ty, tx = divmod(t, rspec.n_tile_x)
+        blk = arr[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+        if tile_ok[t]:
+            np.testing.assert_allclose(
+                blk, refarr[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw],
+                atol=1e-5)
+        else:
+            np.testing.assert_array_equal(blk, 0.0)
+
+    def loss(opa_, color_):
+        img2, _ = _render_fused(proj, opa_, color_, small, rspec,
+                                use_pallas=True, interpret=True)
+        return jnp.sum(img2)
+
+    g = jax.grad(loss, argnums=(0, 1))(opa, color)
+    assert np.isfinite(np.asarray(g[0])).all()
+    assert np.isfinite(np.asarray(g[1])).all()
+
+
+def test_fused_all_invisible(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=40)
+    proj = proj._replace(visible=jnp.zeros_like(proj.visible))
+    img, meta = _render_fused(proj, opa, color, bspec, rspec,
+                              use_pallas=True, interpret=True)
+    assert int(meta.n_pairs) == 0
+    np.testing.assert_array_equal(np.asarray(img), 0.0)
