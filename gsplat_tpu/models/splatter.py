@@ -56,21 +56,27 @@ class SceneCameras:
         return self.w2c_rot.shape[0]
 
 
-def load_scene_cameras(colmap_path, image_path, render_downsample,
-                       tile_h=16, tile_w=16, load_images=True):
-    """COLMAP sparse dir + image dir → SceneCameras.
+def load_scene_camera_groups(colmap_path, image_path, render_downsample,
+                             tile_h=16, tile_w=16, load_images=True):
+    """COLMAP sparse dir + image dir → list of SceneCameras groups.
 
     Mirrors ``Splatter.parse_imgs`` (splatter.py:429-454): images sorted by
     COLMAP image id, skipped when the file is missing, poses built directly
     from the COLMAP world→camera quaternion/translation.
+
+    The reference handles arbitrary per-image cameras by rebuilding tile
+    state per frame on the host (``set_camera``, splatter.py:467-511); the
+    XLA equivalent groups cameras by their (resolution, focal) signature —
+    cameras within a group stack into device arrays and share one compiled
+    pipeline, and the trainer jits one step per group.  Groups are ordered
+    largest-first so single-intrinsics scenes see group 0 only.
     """
     import cv2
 
     cameras = read_cameras_binary(os.path.join(colmap_path, "cameras.bin"))
     images_info = read_images_binary(os.path.join(colmap_path, "images.bin"))
 
-    rots, trans, imgs, names = [], [], [], []
-    grid = None
+    buckets = {}   # grid signature → dict of per-camera lists
     for img_id in sorted(images_info.keys()):
         info = images_info[img_id]
         fn = os.path.join(image_path, info.name)
@@ -81,33 +87,50 @@ def load_scene_cameras(colmap_path, image_path, render_downsample,
         h = int(cam.height / render_downsample)
         fx = cam.params[0] / render_downsample
         fy = cam.params[1] / render_downsample
+        im = None
         if load_images:
             im = cv2.cvtColor(cv2.imread(fn), cv2.COLOR_BGR2RGB)
             h, w = im.shape[:2]
-            imgs.append(im)
-        g = TileGrid(width=w, height=h, focal_x=fx, focal_y=fy,
-                     tile_h=tile_h, tile_w=tile_w)
-        if grid is None:
-            grid = g
-        elif (g.width, g.height) != (grid.width, grid.height):
-            raise NotImplementedError(
-                "multi-intrinsics scenes not supported in the stacked-camera "
-                "fast path yet")
-        rots.append(quat_to_rotmat_np(info.qvec))
-        trans.append(info.tvec)
-        names.append(info.name)
+        key = (w, h, round(fx, 6), round(fy, 6))
+        b = buckets.setdefault(key, {"rots": [], "trans": [], "imgs": [],
+                                     "names": [], "fx": fx, "fy": fy})
+        if im is not None:
+            b["imgs"].append(im)
+        b["rots"].append(quat_to_rotmat_np(info.qvec))
+        b["trans"].append(info.tvec)
+        b["names"].append(info.name)
 
-    shv = [np.stack(list(ray_info(r, t, grid.padded_height, grid.padded_width,
-                                  grid.focal_x, grid.focal_y).values()))
-           for r, t in zip(rots, trans)]
-    return SceneCameras(
-        w2c_rot=jnp.asarray(np.stack(rots), jnp.float32),
-        w2c_tran=jnp.asarray(np.stack(trans), jnp.float32),
-        sh_vecs=jnp.asarray(np.stack(shv), jnp.float32),
-        images=jnp.asarray(np.stack(imgs)) if imgs else None,
-        grid=grid,
-        names=names,
-    )
+    groups = []
+    for (w, h, _, _), b in buckets.items():
+        grid = TileGrid(width=w, height=h, focal_x=b["fx"], focal_y=b["fy"],
+                        tile_h=tile_h, tile_w=tile_w)
+        shv = [np.stack(list(ray_info(
+            r, t, grid.padded_height, grid.padded_width,
+            grid.focal_x, grid.focal_y).values()))
+            for r, t in zip(b["rots"], b["trans"])]
+        groups.append(SceneCameras(
+            w2c_rot=jnp.asarray(np.stack(b["rots"]), jnp.float32),
+            w2c_tran=jnp.asarray(np.stack(b["trans"]), jnp.float32),
+            sh_vecs=jnp.asarray(np.stack(shv), jnp.float32),
+            images=jnp.asarray(np.stack(b["imgs"])) if b["imgs"] else None,
+            grid=grid,
+            names=b["names"],
+        ))
+    groups.sort(key=lambda g: -g.n_cameras)
+    return groups
+
+
+def load_scene_cameras(colmap_path, image_path, render_downsample,
+                       tile_h=16, tile_w=16, load_images=True):
+    """Single-group convenience wrapper (errors on mixed intrinsics)."""
+    groups = load_scene_camera_groups(colmap_path, image_path,
+                                      render_downsample, tile_h, tile_w,
+                                      load_images)
+    if len(groups) != 1:
+        raise ValueError(
+            f"scene has {len(groups)} intrinsics groups; use "
+            "load_scene_camera_groups")
+    return groups[0]
 
 
 def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
@@ -143,6 +166,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         focal_x=grid.focal_x, focal_y=grid.focal_y,
         chunk_size=cfg.chunk_size, color_dim=color_dim,
         weight_normalize=cfg.render_weight_normalize,
+        channel_major=bool(getattr(cfg, "fused_pack", True)),
     )
     return bspec, rspec
 
@@ -236,9 +260,10 @@ class Splatter:
                 scale_activation=cfg.scale_activation,
                 capacity_round=cfg.capacity_round,
             )
-        self.cameras = load_scene_cameras(
+        self.camera_groups = load_scene_camera_groups(
             colmap_path, image_path, cfg.render_downsample,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w, load_images=not test)
+        self.cameras = self.camera_groups[0]   # primary (largest) group
         self._specs_cache = {}
 
     @property
@@ -293,10 +318,11 @@ class Splatter:
         self.image_path = self.image_path.replace(
             f"images_{old}", f"images_{downsample_factor}")
         self.cfg.render_downsample = downsample_factor
-        self.cameras = load_scene_cameras(
+        self.camera_groups = load_scene_camera_groups(
             self.colmap_path, self.image_path, downsample_factor,
             tile_h=self.cfg.tile_h, tile_w=self.cfg.tile_w,
             load_images=not self.test_only)
+        self.cameras = self.camera_groups[0]
         self._specs_cache.clear()
 
     def maybe_grow(self) -> bool:

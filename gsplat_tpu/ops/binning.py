@@ -418,11 +418,15 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
                 [a, jnp.full((L - p_tot,), fill, a.dtype)])
         return a[:S]
 
+    # CHANNEL-MAJOR buffers (8, S)/(c8, S): stacking the sort outputs along
+    # a new MINOR axis costs ~47 ms at Garden scale (a strided interleave),
+    # while axis-0 stacking is contiguous copies (~1 ms); the pallas kernels
+    # transpose the small (8, G) block in VMEM instead (~0.3 µs/chunk).
     zcol = jnp.zeros((S,), jnp.float32)
-    geom_s = jnp.stack([fit(out[2 + j]) for j in range(7)] + [zcol], axis=1)
+    geom_s = jnp.stack([fit(out[2 + j]) for j in range(7)] + [zcol], axis=0)
     c_pad = -c_cols % 8
     colors_s = jnp.stack(
-        [fit(out[9 + j]) for j in range(c_cols)] + [zcol] * c_pad, axis=1)
+        [fit(out[9 + j]) for j in range(c_cols)] + [zcol] * c_pad, axis=0)
 
     if p_tot < L:
         sorted_flat = jnp.concatenate(
@@ -451,9 +455,9 @@ def pack_sorted(spec: BinningSpec, geom_n, color_n, depth, visible):
         gaussian.cu:785-786).
       visible: (N,) bool frustum mask.
 
-    Returns (packed, meta): packed = (geom (S, 8), colors (S, ceil8(C)))
-    chunk-aligned buffers with the same contract as :func:`pack_pairs`,
-    meta = :class:`PackedMeta`.
+    Returns (packed, meta): packed = (geom (8, S), colors (ceil8(C), S))
+    CHANNEL-MAJOR chunk-aligned buffers (consume with a raster spec carrying
+    ``channel_major=True``), meta = :class:`PackedMeta`.
     """
     packed, meta, _ = _pack_sorted_impl(spec, geom_n, color_n, depth, visible)
     return packed, meta
@@ -475,13 +479,14 @@ def _pack_sorted_bwd(spec, residuals, cts):
     V = min(spec.visible_rows or n, n)
     P = V * K
 
-    def unfit(col):  # (S,) cotangent column → (L,)
+    def unfit(col):  # (S,) cotangent row → (L,)
         if L > S:
             col = jnp.concatenate([col, jnp.zeros((L - S,), col.dtype)])
         return col
 
-    cols = tuple(unfit(g_geom[:, j]) for j in range(7)) \
-        + tuple(unfit(g_color[:, j]) for j in range(c_cols))
+    # cotangents arrive channel-major (8, S)/(c8, S) — rows are contiguous
+    cols = tuple(unfit(g_geom[j]) for j in range(7)) \
+        + tuple(unfit(g_color[j]) for j in range(c_cols))
     # one sort inverts the tile sort (pads carry sentinel key P → sort last)
     out = jax.lax.sort((sorted_flat,) + cols, num_keys=1, is_stable=False)
 

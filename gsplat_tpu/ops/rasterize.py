@@ -59,6 +59,11 @@ class RasterSpec(NamedTuple):
     chunk_size: int          # G
     color_dim: int           # 3 (rgb) or 27 (SH deg-2)
     weight_normalize: bool = False
+    # packed-buffer layout: False = row-major (S, 8)/(S, c8) (legacy
+    # pack_pairs), True = channel-major (8, S)/(c8, S) (pack_sorted fast
+    # path — axis-0 stacking of the sort outputs is ~47 ms cheaper at
+    # Garden scale; the kernels transpose the (8, G) block in VMEM)
+    channel_major: bool = False
 
     @property
     def px(self) -> int:
@@ -234,6 +239,8 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, chunk_len,
     """
     nc = chunk_tile.shape[0]
     geom, colarr = packed
+    if spec.channel_major:
+        geom, colarr = geom.T, colarr.T
     g_all = geom.reshape(nc, spec.chunk_size, 8)
     c_all = colarr.reshape(nc, spec.chunk_size, spec.c_col)
 
@@ -296,7 +303,7 @@ def assemble_image(tiles_color, tiles_accw, spec: RasterSpec):
 
 def _fwd_kernel(spec: RasterSpec,
                 ct_ref, cf_ref, cl_ref, clen_ref, shv_ref,
-                geom_ref, col_ref, out_ref, accw_out_ref,
+                geom_ref, col_ref, out_ref,
                 accum_ref, color_ref, accw_ref):
     i = pl.program_id(0)
     t = ct_ref[i]
@@ -316,7 +323,9 @@ def _fwd_kernel(spec: RasterSpec,
     @pl.when(active & (jnp.max(accum_ref[:]) >= STOP_THRESH))
     def _():
         pxc, pyc = _tile_pixel_coords(spec, t)
-        alpha, _, _ = _chunk_alpha(spec, pxc, pyc, geom_ref[:])
+        g = geom_ref[:].T if spec.channel_major else geom_ref[:]
+        gc = col_ref[:].T if spec.channel_major else col_ref[:]
+        alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
         gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
         alpha = jnp.where(gidx < clen_ref[i], alpha, 0.0)
         one_m = 1.0 - alpha
@@ -325,7 +334,7 @@ def _fwd_kernel(spec: RasterSpec,
         w = jnp.where(live, alpha * trans, 0.0)
         shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 \
             else None
-        cols = _chunk_colors(spec, col_ref[:], shb)
+        cols = _chunk_colors(spec, gc, shb)
         for ch in range(3):
             color_ref[ch:ch + 1, :] += jnp.sum(w * cols[ch], axis=0,
                                                keepdims=True)
@@ -335,12 +344,13 @@ def _fwd_kernel(spec: RasterSpec,
 
     @pl.when(last)
     def _():
+        # rows 0-2: composited color; row 3: accumulated weight (Σw).
+        # weight normalization happens OUTSIDE the kernel in assemble_image
+        # (differentiable jnp), so the backward only needs the raw sums.
         col = color_ref[:]                          # (8, Px)
-        if spec.weight_normalize:
-            accw = accw_ref[:]
-            col = col / jnp.where(accw < 0.01, 1.0, accw)
-        out_ref[0] = col
-        accw_out_ref[0] = accw_ref[:]
+        accw = accw_ref[:]
+        out_ref[0] = jnp.concatenate(
+            [col[:3, :], accw, col[4:, :]], axis=0)
 
 
 def _bwd_kernel(spec: RasterSpec,
@@ -363,13 +373,15 @@ def _bwd_kernel(spec: RasterSpec,
 
     @pl.when(jnp.logical_not(do_compute))
     def _():
-        grad_geom_ref[:] = jnp.zeros((g_dim, 8), jnp.float32)
-        grad_col_ref[:] = jnp.zeros((g_dim, spec.c_col), jnp.float32)
+        grad_geom_ref[:] = jnp.zeros(grad_geom_ref.shape, jnp.float32)
+        grad_col_ref[:] = jnp.zeros(grad_col_ref.shape, jnp.float32)
 
     @pl.when(do_compute)
     def _():
         pxc, pyc = _tile_pixel_coords(spec, t)
-        alpha, prob, aux = _chunk_alpha(spec, pxc, pyc, geom_ref[:])
+        g_in = geom_ref[:].T if spec.channel_major else geom_ref[:]
+        gc_in = col_ref[:].T if spec.channel_major else col_ref[:]
+        alpha, prob, aux = _chunk_alpha(spec, pxc, pyc, g_in)
         dx, dy, a, b, c, d, opa, pm, pn = aux
         gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
         slot_ok = gidx < clen_ref[i]
@@ -380,7 +392,7 @@ def _bwd_kernel(spec: RasterSpec,
         w = jnp.where(live, alpha * trans, 0.0)
         shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 \
             else None
-        cols = _chunk_colors(spec, col_ref[:], shb)
+        cols = _chunk_colors(spec, gc_in, shb)
 
         # suffix-color identity for d_alpha (gaussian.cu:709-722):
         # d_alpha = Σ_c g_c·color_g,c·T_g − Σ_c g_c·(out_c − C_incl,c)/(1−α)
@@ -398,6 +410,14 @@ def _bwd_kernel(spec: RasterSpec,
             carry_gdot += gout_c * ccarry_ref[ch:ch + 1, :]
             chunk_color_rows.append(jnp.sum(w * cols[ch], axis=0,
                                             keepdims=True))
+        # accw = Σ_g w_g is a 4th composited channel with color ≡ 1 (output
+        # row 3); its cotangent — nonzero on the weight_normalize path —
+        # rides the same suffix-color identity
+        gout_w = grad_img_ref[0, 3:4, :]
+        gc_dot += gout_w
+        gdotout += gout_w * out_img_ref[0, 3:4, :]
+        carry_gdot += gout_w * ccarry_ref[3:4, :]
+        chunk_color_rows.append(jnp.sum(w, axis=0, keepdims=True))
         c_incl_dot = carry_gdot + _cumsum_incl_sublanes(w * gc_dot)
         d_alpha = gc_dot * trans \
             - (gdotout - c_incl_dot) / (one_m + ALPHA_EPS)
@@ -418,7 +438,7 @@ def _bwd_kernel(spec: RasterSpec,
         dp_dy = prob / pn * (2.0 * a * dy - (b + c) * dx)
 
         zero_col = jnp.zeros((g_dim, 1), jnp.float32)
-        grad_geom_ref[:] = jnp.concatenate([
+        gg_out = jnp.concatenate([
             jnp.sum(d_prob * dp_dx, axis=1, keepdims=True),
             jnp.sum(d_prob * dp_dy, axis=1, keepdims=True),
             jnp.sum(d_prob * dp_da, axis=1, keepdims=True),
@@ -428,6 +448,7 @@ def _bwd_kernel(spec: RasterSpec,
             d_opa,
             zero_col,
         ], axis=1)
+        grad_geom_ref[:] = gg_out.T if spec.channel_major else gg_out
         col_out = []
         if spec.color_dim == 3:
             for ch in range(3):
@@ -449,9 +470,9 @@ def _bwd_kernel(spec: RasterSpec,
         if pad:
             gcol = jnp.concatenate(
                 [gcol, jnp.zeros((g_dim, pad), jnp.float32)], axis=1)
-        grad_col_ref[:] = gcol
+        grad_col_ref[:] = gcol.T if spec.channel_major else gcol
 
-        for ch in range(3):
+        for ch in range(4):
             ccarry_ref[ch:ch + 1, :] += chunk_color_rows[ch]
         accum_ref[:] = trans[-1:, :] * one_m[-1:, :]
 
@@ -461,16 +482,24 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
     geom, colarr = packed
     nc = chunk_tile.shape[0]
     n_rows = spec.n_tiles + 1
+    if spec.channel_major:
+        in_specs = [
+            pl.BlockSpec((8, spec.chunk_size), lambda i, *_: (0, i)),
+            pl.BlockSpec((spec.c_col, spec.chunk_size),
+                         lambda i, *_: (0, i)),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
+            pl.BlockSpec((spec.chunk_size, spec.c_col),
+                         lambda i, *_: (i, 0)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
-            pl.BlockSpec((spec.chunk_size, spec.c_col), lambda i, *_: (i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
-            pl.BlockSpec((1, 1, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, spec.px), jnp.float32),   # accum
@@ -480,16 +509,16 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_rows, 8, spec.px), jnp.float32),
-        jax.ShapeDtypeStruct((n_rows, 1, spec.px), jnp.float32),
     ]
-    tiles, accw = pl.pallas_call(
+    [tiles] = pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(chunk_tile, chunk_first.astype(jnp.int32), chunk_last.astype(jnp.int32),
       chunk_len, sh_vecs, geom, colarr)
-    return tiles, accw[:, 0, :]
+    # rows 0-2 color, row 3 accumulated weight
+    return tiles, tiles[:, 3, :]
 
 
 def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
@@ -497,19 +526,26 @@ def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
                        grad_tiles, interpret=False):
     geom, colarr = packed
     nc = chunk_tile.shape[0]
+    if spec.channel_major:
+        pk_specs = [
+            pl.BlockSpec((8, spec.chunk_size), lambda i, *_: (0, i)),
+            pl.BlockSpec((spec.c_col, spec.chunk_size),
+                         lambda i, *_: (0, i)),
+        ]
+    else:
+        pk_specs = [
+            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
+            pl.BlockSpec((spec.chunk_size, spec.c_col),
+                         lambda i, *_: (i, 0)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
-            pl.BlockSpec((spec.chunk_size, spec.c_col), lambda i, *_: (i, 0)),
+        in_specs=pk_specs + [
             pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
             pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0)),
-            pl.BlockSpec((spec.chunk_size, spec.c_col), lambda i, *_: (i, 0)),
-        ],
+        out_specs=list(pk_specs),
         scratch_shapes=[
             pltpu.VMEM((1, spec.px), jnp.float32),   # accum carry
             pltpu.VMEM((8, spec.px), jnp.float32),   # color carry (incl.)
@@ -549,18 +585,15 @@ def _raster_pallas_fwd(spec, interpret, packed, sh_vecs, chunk_tile,
 
 
 def _raster_pallas_bwd(spec, interpret, res, grads):
-    if spec.weight_normalize:
-        raise NotImplementedError(
-            "pallas backward with weight_normalize — the reference never "
-            "trains with it either (train.py:377 passes False); use the jnp "
-            "path for that configuration."
-        )
     packed, sh_vecs, chunk_tile, chunk_first, chunk_last, chunk_len, \
         out_tiles = res
-    g_tiles, _g_accw = grads
+    g_tiles, g_accw = grads
     n_rows = spec.n_tiles + 1
     g_full = jnp.zeros((n_rows, 8, spec.px), jnp.float32)
     g_full = g_full.at[:, :3, :].set(g_tiles)
+    # accw cotangent (nonzero when weight normalization — applied outside in
+    # assemble_image — backprops through the Σw channel, output row 3)
+    g_full = g_full.at[:, 3, :].set(g_accw)
     grad_packed = _raster_bwd_pallas(
         spec, packed, sh_vecs, chunk_tile, chunk_first, chunk_last,
         chunk_len, out_tiles, g_full, interpret,

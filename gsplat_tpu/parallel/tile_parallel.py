@@ -24,7 +24,7 @@ from jax import shard_map
 
 from gsplat_tpu.models.camera import TileGrid
 from gsplat_tpu.models.splatter import make_specs
-from gsplat_tpu.ops.binning import bin_gaussians, pack_pairs
+from gsplat_tpu.ops.binning import bin_gaussians, pack_pairs, pack_sorted
 from gsplat_tpu.ops.projection import project_gaussians
 from gsplat_tpu.ops.rasterize import rasterize
 
@@ -63,12 +63,19 @@ def make_tile_sharded_render(grid: TileGrid, cfg, capacity: int,
             visible=proj.visible & live,
             mean2d=proj.mean2d - jnp.stack(
                 [jnp.float32(0.0), shift_y])[None, :])
-        binned = bin_gaussians(proj, bspec)
         opa = jax.nn.sigmoid(params["opa"])
         color = params["rgb"] if cfg.use_sh_coeff else jax.nn.sigmoid(
             params["rgb"])
-        packed = pack_pairs(binned, proj, opa, color,
-                            k_width=bspec.max_tiles_per_gaussian)
+        if getattr(cfg, "fused_pack", True):
+            geom_n = jnp.concatenate(
+                [proj.mean2d, proj.cov2d, opa[:, None],
+                 jnp.zeros((opa.shape[0], 1), opa.dtype)], axis=1)
+            packed, binned = pack_sorted(bspec, geom_n, color, proj.depth,
+                                         proj.visible)
+        else:
+            binned = bin_gaussians(proj, bspec)
+            packed = pack_pairs(binned, proj, opa, color,
+                                k_width=bspec.max_tiles_per_gaussian)
         shv_band = shv.at[1].add(row0.astype(jnp.float32) * shv[3])
         img = rasterize(packed, binned, rspec,
                         sh_vecs=shv_band if cfg.use_sh_coeff else None,

@@ -105,20 +105,26 @@ def make_loss_fn(grid, cfg, tcfg: TrainConfig, bspec, rspec, interpret=False):
     return loss_fn
 
 
-def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False):
-    """Build the jitted train step for the current (grid, capacity) specs."""
+def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False,
+                    group: int = 0):
+    """Build the jitted train step for the current (grid, capacity) specs.
+
+    ``group`` selects the intrinsics group (multi-camera-model scenes stack
+    into one device-array group per (resolution, focal) signature; each
+    group gets its own compiled step)."""
     cfg = splat.cfg
-    grid = splat.cameras.grid
-    bspec, rspec = splat.specs()
+    cams = splat.camera_groups[group]
+    grid = cams.grid
+    bspec, rspec = splat.specs(grid)
     b1, b2, eps = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps
     loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, interpret)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(st: TrainState, cam_idx, lrs):
-        rot = splat.cameras.w2c_rot[cam_idx]
-        tran = splat.cameras.w2c_tran[cam_idx]
-        shv = splat.cameras.sh_vecs[cam_idx]
-        gt = splat.cameras.images[cam_idx].astype(jnp.float32) / 255.0
+        rot = cams.w2c_rot[cam_idx]
+        tran = cams.w2c_tran[cam_idx]
+        shv = cams.sh_vecs[cam_idx]
+        gt = cams.images[cam_idx].astype(jnp.float32) / 255.0
         grads, (metrics, aux, _img) = jax.grad(
             loss_fn, has_aux=True)(st.params, st.live, rot, tran, shv, gt)
         new_params, new_opt = adam_update(st.params, grads, st.opt, lrs,
@@ -144,7 +150,8 @@ def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False):
     return train_step
 
 
-def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False):
+def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False,
+                      group: int = 0):
     """Multi-step training window: ONE dispatch runs K steps via lax.scan.
 
     Each executable launch costs a full host round-trip on remote-attached
@@ -156,8 +163,9 @@ def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False):
     window boundaries.
     """
     cfg = splat.cfg
-    grid = splat.cameras.grid
-    bspec, rspec = splat.specs()
+    cams = splat.camera_groups[group]
+    grid = cams.grid
+    bspec, rspec = splat.specs(grid)
     b1, b2, eps = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps
     loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, interpret)
 
@@ -167,10 +175,10 @@ def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False):
             cam_idx, lrs, clear = inp
             accum0 = jnp.where(clear, 0.0, st.accum_grad)
             counter0 = jnp.where(clear, 0.0, st.grad_counter)
-            rot = splat.cameras.w2c_rot[cam_idx]
-            tran = splat.cameras.w2c_tran[cam_idx]
-            shv = splat.cameras.sh_vecs[cam_idx]
-            gt = splat.cameras.images[cam_idx].astype(jnp.float32) / 255.0
+            rot = cams.w2c_rot[cam_idx]
+            tran = cams.w2c_tran[cam_idx]
+            shv = cams.sh_vecs[cam_idx]
+            gt = cams.images[cam_idx].astype(jnp.float32) / 255.0
             grads, (metrics, aux, _img) = jax.grad(
                 loss_fn, has_aux=True)(st.params, st.live, rot, tran, shv, gt)
             new_params, new_opt = adam_update(st.params, grads, st.opt, lrs,
@@ -198,17 +206,18 @@ def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False):
     return train_window
 
 
-def make_eval_step(splat: Splatter, interpret=False):
+def make_eval_step(splat: Splatter, interpret=False, group: int = 0):
     cfg = splat.cfg
-    grid = splat.cameras.grid
-    bspec, rspec = splat.specs()
+    cams = splat.camera_groups[group]
+    grid = cams.grid
+    bspec, rspec = splat.specs(grid)
 
     @jax.jit
     def eval_step(params, live, cam_idx):
-        rot = splat.cameras.w2c_rot[cam_idx]
-        tran = splat.cameras.w2c_tran[cam_idx]
-        shv = splat.cameras.sh_vecs[cam_idx]
-        gt = splat.cameras.images[cam_idx].astype(jnp.float32) / 255.0
+        rot = cams.w2c_rot[cam_idx]
+        tran = cams.w2c_tran[cam_idx]
+        shv = cams.sh_vecs[cam_idx]
+        gt = cams.images[cam_idx].astype(jnp.float32) / 255.0
         img, _ = render_cropped(params, live, rot, tran, shv, grid, cfg,
                                 bspec, rspec, interpret)
         return img, psnr(img, gt, data_range=1.0), ssim(img, gt, data_range=1.0)
@@ -226,10 +235,20 @@ class Trainer:
             # pallas kernels only compile on TPU; elsewhere run interpreted
             interpret = splat.cfg.use_pallas and jax.default_backend() != "tpu"
         self.interpret = interpret
-        n_cam = splat.cameras.n_cameras
+        # flat camera index over all intrinsics groups (group-major load
+        # order); every 8th is a test camera (reference train.py:68).
+        # Single-group scenes see flat index == camera id.
+        self.flat_cams = [(g, i)
+                          for g, grp in enumerate(splat.camera_groups)
+                          for i in range(grp.n_cameras)]
+        n_cam = len(self.flat_cams)
         self.test_split = np.arange(0, n_cam, 8)          # train.py:68
         self.train_split = np.array(
             sorted(set(range(n_cam)) - set(self.test_split.tolist())))
+        self._group_train = {}   # group → local train-camera ids
+        for fi in self.train_split:
+            g, i = self.flat_cams[fi]
+            self._group_train.setdefault(g, []).append(i)
         self.rng = np.random.default_rng(tcfg.seed)
         self.sample_rng = jax.random.PRNGKey(tcfg.seed)
 
@@ -240,10 +259,29 @@ class Trainer:
             accum_grad=jnp.zeros_like(splat.table.pos),
             grad_counter=jnp.zeros(splat.table.capacity, jnp.float32),
         )
-        self._train_step = make_train_step(splat, tcfg, interpret)
-        self._train_window = make_train_window(splat, tcfg, interpret)
-        self._eval_step = make_eval_step(splat, interpret)
+        self._step_cache = {}
+        self._window_cache = {}
+        self._eval_cache = {}
         self.history = {"l1": [], "ssim": [], "psnr": []}
+
+    # lazy per-intrinsics-group compiled functions -----------------------
+    def _train_step_for(self, g: int):
+        if g not in self._step_cache:
+            self._step_cache[g] = make_train_step(
+                self.splat, self.tcfg, self.interpret, group=g)
+        return self._step_cache[g]
+
+    def _train_window_for(self, g: int):
+        if g not in self._window_cache:
+            self._window_cache[g] = make_train_window(
+                self.splat, self.tcfg, self.interpret, group=g)
+        return self._window_cache[g]
+
+    def _eval_step_for(self, g: int):
+        if g not in self._eval_cache:
+            self._eval_cache[g] = make_eval_step(
+                self.splat, self.interpret, group=g)
+        return self._eval_cache[g]
 
     # ------------------------------------------------------------------
     def lrs_at(self, i_iter: int) -> jnp.ndarray:
@@ -260,11 +298,9 @@ class Trainer:
                 n_live=jnp.sum(self.state.live).astype(jnp.int32))
 
     def _rebuild_after_capacity_change(self):
-        self._train_step = make_train_step(self.splat, self.tcfg,
-                                           self.interpret)
-        self._train_window = make_train_window(self.splat, self.tcfg,
-                                               self.interpret)
-        self._eval_step = make_eval_step(self.splat, self.interpret)
+        self._step_cache.clear()
+        self._window_cache.clear()
+        self._eval_cache.clear()
 
     # ------------------------------------------------------------------
     # per-iteration event predicates (reference train.py:87-91)
@@ -301,19 +337,20 @@ class Trainer:
                 accum_grad=jnp.zeros_like(self.state.accum_grad),
                 grad_counter=jnp.zeros_like(self.state.grad_counter))
 
-        cam = int(self.rng.choice(self.train_split))
+        g, cam = self.flat_cams[int(self.rng.choice(self.train_split))]
+        step = self._train_step_for(g)
         if t.debug:
             # host-side stage timing (TPU analogue of the reference's CUDA
             # event Timer, utils.py:357-389) — forces a sync per step
             from gsplat_tpu.utils.timer import StageTimer
 
             with StageTimer("train_step") as st:
-                self.state, metrics = self._train_step(self.state, cam,
-                                                       self.lrs_at(i_iter))
+                self.state, metrics = step(self.state, cam,
+                                           self.lrs_at(i_iter))
                 st.set_sync(float(metrics["l1"]))
         else:
-            self.state, metrics = self._train_step(self.state, cam,
-                                                   self.lrs_at(i_iter))
+            self.state, metrics = step(self.state, cam,
+                                       self.lrs_at(i_iter))
         self._last_metrics = metrics
         self._post_step(i_iter)
         return metrics
@@ -324,12 +361,18 @@ class Trainer:
         launches cost a full round-trip on remote-attached TPUs, so this is
         how the trainer stays device-bound."""
         k = i1 - i0 + 1
+        # one intrinsics group per window (each group has its own compiled
+        # scan); the group is drawn camera-uniformly, then the window's
+        # cameras are sampled within it
+        g, cam0 = self.flat_cams[int(self.rng.choice(self.train_split))]
+        pool = self._group_train[g]
         cams = jnp.asarray(
-            [int(self.rng.choice(self.train_split)) for _ in range(k)],
+            [cam0] + [int(self.rng.choice(pool)) for _ in range(k - 1)],
             jnp.int32)
         lrs = jnp.stack([self.lrs_at(x) for x in range(i0, i1 + 1)])
         clear = jnp.asarray([self._pre_clear(x) for x in range(i0, i1 + 1)])
-        self.state, metrics = self._train_window(self.state, cams, lrs, clear)
+        self.state, metrics = self._train_window_for(g)(
+            self.state, cams, lrs, clear)
         self._last_metrics = metrics
         self._post_step(i1)
         return metrics
@@ -374,16 +417,17 @@ class Trainer:
                   f"n_live={int(tbl.n_live)}")
 
     # ------------------------------------------------------------------
-    def test(self, camera_id: int):
-        img, p, s = self._eval_step(self.state.params, self.state.live,
-                                    camera_id)
+    def test(self, camera_id: int, group: int = 0):
+        img, p, s = self._eval_step_for(group)(
+            self.state.params, self.state.live, camera_id)
         return {"image": img, "psnr": float(p), "ssim": float(s)}
 
     def evaluate(self):
         psnrs, ssims, elapsed = [], [], 0.0
-        for cid in self.test_split:
+        for fid in self.test_split:
+            g, cid = self.flat_cams[fid]
             t0 = time.perf_counter()
-            out = self.test(int(cid))
+            out = self.test(int(cid), group=g)
             elapsed += time.perf_counter() - t0
             psnrs.append(out["psnr"])
             ssims.append(out["ssim"])
@@ -438,8 +482,8 @@ class Trainer:
         """Dump a render to {exp}/imgs/ (reference train.py:223-228)."""
         import cv2
 
-        img, _, _ = self._eval_step(self.state.params, self.state.live,
-                                    camera_id)
+        img, _, _ = self._eval_step_for(0)(self.state.params,
+                                           self.state.live, camera_id)
         arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
         d = os.path.join(self.tcfg.exp, "imgs")
         os.makedirs(d, exist_ok=True)

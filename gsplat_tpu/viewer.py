@@ -1,18 +1,24 @@
 """Interactive web viewer (viser) — parity with reference ``visergui.py``.
 
-Renders the current gaussian table for the connected client's camera and
-streams JPEG backgrounds; resolution/near sliders and an FPS readout mirror
-``visergui.py:29-168``.  The device-side render is the same jitted pipeline
-used for evaluation; only numpy images cross to the host.
+Control surface mirrors ``visergui.py:36-68`` — Reset View, Train Viewer
+Update Period, Pause Training, SH Order, Resolution, Near, Far, Show Train
+Camera, FPS readout — and goes beyond it: the reference never actually
+passes its near/far/SH-order slider values into rendering
+(``visergui.py:137-149`` forwards only extrinsics+intrinsics), while here
+they are wired end-to-end, and Pause Training actually gates a live
+training loop when a trainer is attached (the reference's flag is read by
+nothing because its GUI mode never trains, ``train.py:394-403``).
 
-viser is an optional dependency (it is not bundled in the TPU image); the
-module degrades to a clear error message when missing.  For headless
-environments :func:`render_offscreen` provides the same camera-math path
-without a server, and is unit-tested.
+The device-side render is the same jitted pipeline used for evaluation;
+only numpy images cross to the host.  viser is an optional dependency (not
+bundled in the TPU image); the module degrades to a clear error message
+when missing.  For headless environments :func:`render_offscreen` provides
+the same camera-math path without a server.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from collections import deque
 
@@ -21,6 +27,9 @@ import numpy as np
 from gsplat_tpu.models.camera import TileGrid, ray_info
 from gsplat_tpu.models.splatter import make_specs, render_cropped
 from gsplat_tpu.utils.so3 import quat_to_rotmat_np
+
+# SH band sizes: order o keeps the first o^2 of the 9 deg-2 coefficients
+_SH_COEFFS_PER_ORDER = {1: 1, 2: 4, 3: 9, 4: 9}
 
 
 def camera_to_w2c(wxyz: np.ndarray, position: np.ndarray) -> np.ndarray:
@@ -32,11 +41,20 @@ def camera_to_w2c(wxyz: np.ndarray, position: np.ndarray) -> np.ndarray:
 
 
 def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
-                     focal_x: float, focal_y: float, interpret=False):
-    """Render an arbitrary camera (the GUI path, splatter.py:467-487)."""
+                     focal_x: float, focal_y: float, interpret=False,
+                     near: float | None = None, far: float | None = None,
+                     sh_order: int | None = None):
+    """Render an arbitrary camera (the GUI path, splatter.py:467-487).
+
+    near/far clip planes and the SH evaluation order are honoured when
+    given (the reference exposes these as GUI sliders but never forwards
+    them into its renderer).
+    """
     import jax.numpy as jnp
 
     cfg = splat.cfg
+    if near is not None:
+        cfg = dataclasses.replace(cfg, near=float(near))
     grid = TileGrid(width=int(width), height=int(height),
                     focal_x=focal_x, focal_y=focal_y,
                     tile_h=cfg.tile_h, tile_w=cfg.tile_w)
@@ -46,64 +64,176 @@ def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
     shv = np.stack(list(ray_info(rot, tran, grid.padded_height,
                                  grid.padded_width, focal_x, focal_y
                                  ).values()))
+    params = splat.table.params()
+    if cfg.use_sh_coeff and sh_order is not None:
+        keep = _SH_COEFFS_PER_ORDER.get(int(sh_order), 9)
+        if keep < 9:
+            # zero the truncated bands per channel (27 = 3 channels x 9)
+            mask = np.zeros((27,), np.float32)
+            for ch in range(3):
+                mask[9 * ch:9 * ch + keep] = 1.0
+            params = dict(params, rgb=params["rgb"] * jnp.asarray(mask))
+    live = splat.table.live
+    if far is not None:
+        # Euclidean far-plane cull (depth semantics match projection:
+        # ||p_cam||, gaussian.cu:1217); applied through the live mask so
+        # the whole jitted pipeline stays unchanged
+        import jax
+
+        pos = params["pos"]
+        rj = jnp.asarray(rot, jnp.float32)
+        tj = jnp.asarray(tran, jnp.float32)
+        p_c = jnp.matmul(pos, rj.T, precision=jax.lax.Precision.HIGHEST) + tj
+        live = live & (jnp.linalg.norm(p_c, axis=-1) < float(far))
     img, _ = render_cropped(
-        splat.table.params(), splat.table.live,
+        params, live,
         jnp.asarray(rot, jnp.float32), jnp.asarray(tran, jnp.float32),
         jnp.asarray(shv, jnp.float32), grid, cfg, bspec, rspec,
         interpret=interpret)
     return np.asarray(img)
 
 
-def run_viewer(splat, port: int = 6789):
-    try:
-        import viser
-    except ImportError as e:  # pragma: no cover
-        raise SystemExit(
-            "viser is not installed in this environment; install it to use "
-            "--gui, or use render_offscreen() for headless rendering"
-        ) from e
+def run_viewer(splat, port: int = 6789, trainer=None, server=None,
+               max_iters: int | None = None):
+    """Serve the scene; when ``trainer`` is given, train live between frames.
 
-    server = viser.ViserServer(port=port)
+    ``server`` injects a viser-compatible server (used by tests); default
+    constructs a real ``viser.ViserServer(port=port)``.  ``max_iters``
+    bounds the main loop for headless testing (None = run forever).
+    """
+    if server is None:  # pragma: no cover - needs viser + a browser
+        try:
+            import viser
+        except ImportError as e:
+            raise SystemExit(
+                "viser is not installed in this environment; install it to "
+                "use --gui, or use render_offscreen() for headless rendering"
+            ) from e
+        server = viser.ViserServer(port=port)
+
+    # --- control surface (parity: visergui.py:36-68) ---------------------
+    reset_view = server.add_gui_button("Reset View")
+    update_period = server.add_gui_slider(
+        "Train Viewer Update Period", min=1, max=100, step=1,
+        initial_value=10, disabled=True)
+    pause_training = server.add_gui_button("Pause Training")
+    sh_order = server.add_gui_slider("SH Order", min=1, max=4, step=1,
+                                     initial_value=3)
     resolution = server.add_gui_slider("Resolution", min=384, max=4096,
                                        step=2, initial_value=1024)
     near = server.add_gui_slider("Near", min=0.1, max=30, step=0.5,
-                                 initial_value=0.1)
+                                 initial_value=0.3)
+    far = server.add_gui_slider("Far", min=30.0, max=1000.0, step=10.0,
+                                initial_value=1000.0)
+    show_train_cam = server.add_gui_checkbox("Show Train Camera",
+                                             initial_value=False)
     fps_text = server.add_gui_text("FPS", initial_value="-1", disabled=True)
-    need_update = {"v": True}
+
+    state = {"update": True, "paused": False, "iter": 0, "frustums": []}
     render_times = deque(maxlen=3)
 
-    @resolution.on_update
-    def _(_):
-        need_update["v"] = True
+    for ctl in (resolution, near, far, sh_order):
+        @ctl.on_update
+        def _(_):
+            state["update"] = True
 
-    @near.on_update
+    @pause_training.on_click
     def _(_):
-        need_update["v"] = True
+        state["paused"] = not state["paused"]
+        update_period.disabled = not state["paused"]
+        pause_training.name = ("Resume Training" if state["paused"]
+                               else "Pause Training")
+
+    @reset_view.on_click
+    def _(_):
+        state["update"] = True
+        for client in server.get_clients().values():
+            r = quat_to_rotmat_np(np.asarray(client.camera.wxyz))
+            client.camera.up_direction = r @ np.array([0.0, -1.0, 0.0])
+
+    @show_train_cam.on_update
+    def _(_):
+        state["update"] = True
+        if show_train_cam.value and not state["frustums"] \
+                and getattr(splat, "cameras", None) is not None:
+            cams = splat.cameras
+            g = cams.grid
+            fov = 2 * np.arctan(g.height / 2 / g.focal_y)
+            for i in range(cams.n_cameras):
+                w2c = np.eye(4, dtype=np.float32)
+                w2c[:3, :3] = np.asarray(cams.w2c_rot[i])
+                w2c[:3, 3] = np.asarray(cams.w2c_tran[i])
+                c2w = np.linalg.inv(w2c)
+                try:
+                    f = server.scene.add_camera_frustum(
+                        f"/train_cams/{i}", fov=float(fov),
+                        aspect=g.width / g.height, scale=0.1,
+                        position=c2w[:3, 3],
+                        wxyz=_rotmat_to_quat(c2w[:3, :3]))
+                    state["frustums"].append(f)
+                except Exception:  # older viser scene APIs
+                    break
+        for f in state["frustums"]:
+            f.visible = bool(show_train_cam.value)
 
     @server.on_client_connect
     def _(client):
         @client.camera.on_update
         def _(_):
-            need_update["v"] = True
+            state["update"] = True
 
-    print(f"viewer on port {port}")
-    while True:
-        if not need_update["v"]:
+    print(f"viewer on port {port}"
+          + (" (live training)" if trainer is not None else ""))
+    while max_iters is None or state["iter"] < max_iters:
+        state["iter"] += 1
+        if trainer is not None and not state["paused"]:
+            k = int(update_period.value)
+            i0 = getattr(trainer, "_gui_iter", 0)
+            trainer.train_window(i0, i0 + k - 1)
+            trainer._gui_iter = i0 + k
+            trainer._sync_table_from_state()
+            state["update"] = True
+        if not state["update"]:
             time.sleep(0.01)
             continue
-        need_update["v"] = False
+        state["update"] = False
         for client in server.get_clients().values():
             cam = client.camera
-            w2c = camera_to_w2c(cam.wxyz, cam.position)
+            w2c = camera_to_w2c(np.asarray(cam.wxyz),
+                                np.asarray(cam.position))
             W = int(resolution.value)
             H = int(W / cam.aspect)
-            focal = W / 2 / np.tan(cam.fov / 2)
+            focal_x = W / 2 / np.tan(cam.fov / 2)
+            focal_y = H / 2 / np.tan(cam.fov / 2)
             t0 = time.perf_counter()
             try:
-                img = render_offscreen(splat, w2c, W, H, focal, focal)
+                img = render_offscreen(
+                    splat, w2c, W, H, focal_x, focal_y,
+                    near=float(near.value), far=float(far.value),
+                    sh_order=int(sh_order.value))
             except Exception as e:  # parity: visergui.py:155-158
                 print(e)
                 continue
             render_times.append(time.perf_counter() - t0)
-            client.set_background_image(img.astype(np.float32), format="jpeg")
+            client.set_background_image(img.astype(np.float32),
+                                        format="jpeg")
             fps_text.value = f"{1.0 / np.mean(render_times):.3g}"
+
+
+def _rotmat_to_quat(r: np.ndarray) -> np.ndarray:
+    """3x3 rotation → wxyz quaternion (for camera frustum markers)."""
+    w = np.sqrt(max(0.0, 1.0 + r[0, 0] + r[1, 1] + r[2, 2])) / 2
+    if w < 1e-8:
+        # fall back to largest diagonal element branch
+        i = int(np.argmax([r[0, 0], r[1, 1], r[2, 2]]))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(0.0, 1.0 + r[i, i] - r[j, j] - r[k, k])) * 2
+        q = np.zeros(4)
+        q[0] = (r[k, j] - r[j, k]) / s
+        q[1 + i] = s / 4
+        q[1 + j] = (r[j, i] + r[i, j]) / s
+        q[1 + k] = (r[k, i] + r[i, k]) / s
+        return q
+    return np.array([w, (r[2, 1] - r[1, 2]) / (4 * w),
+                     (r[0, 2] - r[2, 0]) / (4 * w),
+                     (r[1, 0] - r[0, 1]) / (4 * w)])

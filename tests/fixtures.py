@@ -102,3 +102,90 @@ def make_scene(tmpdir, n_points=120, n_cameras=4, w=64, h=48, focal=60.0,
         cv2.imwrite(os.path.join(img_dir, name),
                     cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
     return tmpdir, gts
+
+
+def write_cameras_bin_multi(path, cams):
+    """cams: list of (cam_id, w, h, fx, fy) PINHOLE models."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cams)))
+        for cam_id, w, h, fx, fy in cams:
+            f.write(struct.pack("<iiQQ", cam_id, 1, w, h))
+            f.write(struct.pack("<dddd", fx, fy, w / 2, h / 2))
+
+
+def write_images_bin_multi(path, poses):
+    """poses: list of (qvec wxyz, tvec, name, cam_id)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(poses)))
+        for i, (q, t, name, cam_id) in enumerate(poses):
+            f.write(struct.pack("<idddddddi", i + 1, *q, *t, cam_id))
+            f.write(name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+
+
+def make_mixed_scene(tmpdir, n_points=120, sizes=((64, 48, 60.0, 4),
+                                                  (96, 64, 90.0, 3)),
+                     seed=0, downsample=1):
+    """Scene with MULTIPLE camera models (different resolutions/focals).
+
+    sizes: per camera model (w, h, focal, n_cameras).  Exercises the
+    intrinsics-group path (reference handles per-image cameras via
+    set_camera, splatter.py:467-511).
+    """
+    import cv2
+    import jax.numpy as jnp
+    from gsplat_tpu.ops.projection import project_gaussians
+    from gsplat_tpu.ops.rasterize_ref import rasterize_oracle
+    from gsplat_tpu.utils.so3 import quat_to_rotmat_np
+
+    rng = np.random.default_rng(seed)
+    sparse = os.path.join(tmpdir, "sparse", "0")
+    os.makedirs(sparse, exist_ok=True)
+    img_dir = os.path.join(tmpdir, f"images_{downsample}")
+    os.makedirs(img_dir, exist_ok=True)
+
+    z = rng.uniform(2.0, 4.0, n_points)
+    x = rng.uniform(-0.3, 0.3, n_points) * z
+    y = rng.uniform(-0.25, 0.25, n_points) * z
+    xyz = np.stack([x, y, z], axis=1)
+    rgb = (rng.uniform(0.2, 0.9, (n_points, 3)) * 255).astype(np.uint8)
+
+    cams, poses = [], []
+    idx = 0
+    for cam_id, (w, h, focal, n) in enumerate(sizes, start=1):
+        cams.append((cam_id, w * downsample, h * downsample,
+                     focal * downsample, focal * downsample))
+        for k in range(n):
+            off = np.array([0.06 * (idx - 3), 0.03 * (idx % 2), 0.0])
+            poses.append((np.array([1.0, 0, 0, 0]), -off,
+                          f"img_{idx:03d}.png", cam_id))
+            idx += 1
+    write_cameras_bin_multi(os.path.join(sparse, "cameras.bin"), cams)
+    write_images_bin_multi(os.path.join(sparse, "images.bin"), poses)
+    write_points3d_bin(os.path.join(sparse, "points3D.bin"), xyz, rgb)
+
+    quat = np.tile([1.0, 0, 0, 0], (n_points, 1)).astype(np.float32)
+    scale = np.full((n_points, 3), 0.06, np.float32)
+    opa = np.full((n_points,), 0.8, np.float32)
+    for q, t, name, cam_id in poses:
+        _, w, h, fx, fy = cams[cam_id - 1]
+        w, h = w // downsample, h // downsample
+        fx, fy = fx / downsample, fy / downsample
+        rot = quat_to_rotmat_np(q)
+        proj = project_gaussians(
+            jnp.asarray(xyz, jnp.float32), jnp.asarray(quat),
+            jnp.asarray(scale), jnp.asarray(rot, jnp.float32),
+            jnp.asarray(t, jnp.float32),
+            near=0.3, half_width=w * 1.2 / 2 / fx,
+            half_height=h * 1.2 / 2 / fy, scale_activation="abs")
+        order = np.argsort(np.where(np.asarray(proj.visible),
+                                    np.asarray(proj.depth), np.inf))
+        order = order[np.asarray(proj.visible)[order]]
+        img = rasterize_oracle(
+            proj.mean2d[order], proj.cov2d[order],
+            jnp.asarray(opa)[order],
+            jnp.asarray(rgb[order] / 255.0, jnp.float32), h, w, fx, fy)
+        img8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(img_dir, name),
+                    cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
+    return tmpdir

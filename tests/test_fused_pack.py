@@ -34,6 +34,7 @@ def _render_legacy(proj, opa, color, bspec, rspec, **kw):
 def _render_fused(proj, opa, color, bspec, rspec, **kw):
     packed, meta = pack_sorted(bspec, _geom_n(proj, opa), color,
                                proj.depth, proj.visible)
+    rspec = rspec._replace(channel_major=True)  # pack_sorted emits (8, S)
     return rasterize(packed, meta, rspec, **kw), meta
 
 

@@ -174,3 +174,40 @@ def test_grads_flow_to_gaussian_params(rng):
         assert np.abs(g[vis]).sum() > 0
         # culled gaussians receive no gradient
         assert np.abs(g[~vis]).sum() == 0
+
+
+def test_weight_normalize_pallas_matches_jnp_fwd_and_grads(rng):
+    """weight_normalize now trains on the pallas path: normalization is
+    applied outside the kernel (assemble_image) and the backward kernel
+    carries the accw (Σw) cotangent as a 4th composited channel.
+
+    Also a regression: the old kernel normalized INSIDE at chunk_last while
+    assemble_image normalized again — a double division on the pallas path.
+    """
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=90)
+    rspec = rspec._replace(weight_normalize=True)
+    binned = bin_gaussians(proj, bspec)
+    packed = pack_pairs(binned, proj, opa, color)
+
+    def loss_jnp(pk):
+        return jnp.sum(rasterize(pk, binned, rspec, use_pallas=False) ** 2)
+
+    def loss_pallas(pk):
+        return jnp.sum(rasterize(pk, binned, rspec, use_pallas=True,
+                                 interpret=True) ** 2)
+
+    vj, gj = jax.value_and_grad(loss_jnp)(packed)
+    vp, gp = jax.value_and_grad(loss_pallas)(packed)
+    np.testing.assert_allclose(float(vp), float(vj), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=2e-3)
+
+    # and against the naive oracle
+    img = rasterize(packed, binned, rspec, use_pallas=True, interpret=True)
+    m, c, o, col = oracle_inputs(proj, opa, color)
+    ref = rasterize_oracle(m, c, o, col, rspec.padded_h, rspec.padded_w,
+                           rspec.focal_x, rspec.focal_y,
+                           weight_normalize=True)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
