@@ -17,6 +17,7 @@ Prints ONE JSON line:
 Baselines (BASELINE.md): 13 train it/s, 60 render FPS on 1x GPU.
 """
 
+import argparse
 import functools
 import json
 import time
@@ -30,9 +31,21 @@ def main():
 
     from gsplat_tpu.config import SplatConfig, TrainConfig
     from gsplat_tpu.models.splatter import make_specs, render_padded
+    from gsplat_tpu.ops.losses import psnr as psnr_fn
     from gsplat_tpu.synthetic import synthetic_cameras, synthetic_table
     from gsplat_tpu.train import (
         TrainState, adam_update, init_adam, make_loss_fn)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--use_sh_coeff", type=int, default=0,
+                    help="bench the 27-coefficient SH color path (the "
+                         "reference quality config trains SH, README.md:44-48)")
+    ap.add_argument("--oracle_gt", type=int, default=1,
+                    help="ground truth = this pipeline's own render of a "
+                         "perturbed target table (realizable target; PSNR "
+                         "line is meaningful) instead of random noise")
+    args = ap.parse_args()
+    use_sh = bool(args.use_sh_coeff)
 
     on_tpu = jax.default_backend() == "tpu"
     interpret = not on_tpu
@@ -43,12 +56,48 @@ def main():
         n_gauss, w, h, focal = 20_000, 320, 240, 260.0
         m_cams, k_small, k_big = 8, 1, 3
 
-    cfg = SplatConfig(use_pallas=True)
+    cfg = SplatConfig(use_pallas=True, use_sh_coeff=use_sh)
     tcfg = TrainConfig(ssim_weight=0.1)
-    table = synthetic_table(n_gauss, focal=focal, scale_px=2.5)
+    # frustum slightly wider than the view: ~60% of gaussians visible per
+    # camera, matching real Garden-scene visibility (the old scene put 100%
+    # of gaussians in every frustum — harsher than the reference workload)
+    table = synthetic_table(n_gauss, focal=focal, scale_px=2.5,
+                            use_sh=use_sh, frustum=(0.85, 0.55))
     cams = synthetic_cameras(m_cams, w, h, focal)
     grid = cams["grid"]
-    bspec, rspec = make_specs(grid, table.capacity, cfg, 3)
+    bspec, rspec = make_specs(grid, table.capacity, cfg,
+                              27 if use_sh else 3)
+
+    # --- budget tuning prologue: mirror the trainer's retunes ------------
+    # the trainer resizes visible_rows / pair_capacity from observed
+    # n_visible / n_pairs at densify boundaries (models/splatter.py);
+    # benching the trained regime requires the same specs
+    from gsplat_tpu.ops.projection import project_gaussians
+    from gsplat_tpu.ops.binning import _tile_bbox
+
+    @jax.jit
+    def observe(params, live):
+        proj = project_gaussians(
+            params["pos"], params["quat"], params["scale"],
+            cams["w2c_rot"][0], cams["w2c_tran"][0], cfg.near,
+            grid.width * 1.2 / 2 / focal, grid.height * 1.2 / 2 / focal,
+            cfg.scale_activation)
+        vis = proj.visible & live
+        _, _, rw, rh = _tile_bbox(bspec, proj.mean2d, proj.cov2d, vis)
+        cov = jnp.minimum(rw * rh, bspec.max_tiles_per_gaussian)
+        return jnp.sum(vis), jnp.sum(cov)
+
+    n_vis, n_pairs = jax.device_get(observe(table.params(), table.live))
+    # same formulas as Splatter.retune_visible_rows / retune_pair_capacity
+    cfg.visible_rows = min(
+        max((int(n_vis) * 135 // 100 // 4096 + 1) * 4096, 8192),
+        table.capacity)
+    cfg.pair_capacity = max(int(n_pairs) * 8 // 5, 4096)
+    bspec, rspec = make_specs(grid, table.capacity, cfg,
+                              27 if use_sh else 3)
+    print(f"# tuned: n_visible={int(n_vis)} n_pairs={int(n_pairs)} "
+          f"visible_rows={cfg.visible_rows} slot_cap={bspec.slot_capacity}",
+          flush=True)
 
     # ---------------- render FPS (scan over frames, one dispatch) -------
     def frames_fn(k):
@@ -66,6 +115,33 @@ def main():
         return run
 
     params, live = table.params(), table.live
+
+    if args.oracle_gt:
+        # realizable ground truth: render a jittered copy of the table so
+        # the training phase has a meaningful target (and the trained state
+        # keeps Garden-like occupancy instead of drifting toward noise)
+        tgt = {k: v for k, v in params.items()}
+        jit_rng = np.random.default_rng(1)
+        tgt["pos"] = tgt["pos"] + jnp.asarray(
+            jit_rng.normal(0, 0.01, tgt["pos"].shape), jnp.float32)
+
+        # on CPU the pallas-interpret renderer is far too slow for GT
+        # generation; the jnp compositor is numerically identical
+        import dataclasses as _dc
+        gt_cfg = cfg if on_tpu else _dc.replace(cfg, use_pallas=False)
+
+        @jax.jit
+        def gt_frame(c):
+            img, _ = render_padded(tgt, live, cams["w2c_rot"][c],
+                                   cams["w2c_tran"][c], cams["sh_vecs"][c],
+                                   grid, gt_cfg, bspec, rspec,
+                                   interpret=interpret)
+            img = jnp.clip(img[:h, :w], 0.0, 1.0)
+            return (img * 255).astype(jnp.uint8)
+
+        gt_imgs = jnp.stack([gt_frame(c) for c in range(m_cams)])
+        cams["images"] = gt_imgs
+
     f_small, f_big = frames_fn(k_small), frames_fn(k_big)
     float(f_small(params, live, jnp.float32(0)))
     float(f_big(params, live, jnp.float32(0)))
@@ -124,8 +200,29 @@ def main():
     it_s = (k_big - k_small) / max(time_steps(s_big) - time_steps(s_small),
                                    1e-9)
 
+    extras = {}
+    if args.oracle_gt:
+        # short training burst against the oracle GT → PSNR sanity line
+        st = fresh_state()
+        st, _ = s_big(st)
+        c0 = jnp.int32(0)
+        gt0 = cams["images"][c0].astype(jnp.float32) / 255.0
+
+        @jax.jit
+        def cur_psnr(params, live):
+            img, _ = render_padded(params, live, cams["w2c_rot"][c0],
+                                   cams["w2c_tran"][c0], cams["sh_vecs"][c0],
+                                   grid, cfg, bspec, rspec,
+                                   interpret=interpret)
+            img = jnp.clip(img[:h, :w], 0.0, 1.0)
+            return psnr_fn(img, gt0, data_range=1.0)
+
+        extras["psnr_after_burst"] = round(float(cur_psnr(st.params,
+                                                          st.live)), 2)
+
     print(json.dumps({
-        "metric": "train_it_per_s@506k_gaussians_1297x840",
+        "metric": ("train_it_per_s@506k_gaussians_1297x840"
+                   + ("_sh" if use_sh else "")),
         "value": round(it_s, 3),
         "unit": "it/s",
         "vs_baseline": round(it_s / 13.0, 3),
@@ -134,6 +231,8 @@ def main():
         "backend": jax.default_backend(),
         "n_gaussians": n_gauss,
         "resolution": f"{w}x{h}",
+        "color": "sh27" if use_sh else "rgb",
+        **extras,
     }))
 
 
