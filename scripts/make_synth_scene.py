@@ -1,9 +1,19 @@
 #!/usr/bin/env python
-"""Build a mid-size synthetic COLMAP scene with GT images rendered by this
+"""Build a synthetic COLMAP scene with GT images rendered by this
 framework's own pipeline (for end-to-end training validation without a
 dataset): GT gaussians → rendered views → COLMAP files + a degraded point
-cloud as the training init."""
+cloud as the training init.
 
+Presets:
+  --preset mid     50k GT gaussians, 640x416, 24 cams  (CPU-feasible)
+  --preset garden  400k GT gaussians, 1297x840, 56 cams (Garden-scale; run
+                   on the TPU — interpret-mode rendering at this size is
+                   impractical).  Mirrors the reference's headline workload
+                   (reference README.md:36 — 506,627 gaussians at images_4
+                   resolution, PSNR 24.91 @7k iters).
+"""
+
+import argparse
 import os
 import sys
 
@@ -22,14 +32,25 @@ from gsplat_tpu.models.camera import TileGrid, ray_info
 from gsplat_tpu.synthetic import synthetic_table
 from gsplat_tpu.utils.so3 import quat_to_rotmat_np
 
+PRESETS = {
+    "mid": dict(n_gt=50_000, n_points=15_000, n_cams=24, w=640, h=416,
+                focal=500.0, capacity_round=4096, pair_capacity=None,
+                scale_px=3.0, opa=0.7),
+    "garden": dict(n_gt=400_000, n_points=140_000, n_cams=56, w=1297, h=840,
+                   focal=1000.0, capacity_round=65536, pair_capacity=4_194_304,
+                   scale_px=2.5, opa=0.6),
+}
 
-def main(out_dir, n_gt=50_000, n_points=15_000, n_cams=24, w=640, h=416,
-         focal=500.0, downsample=4, seed=0):
+
+def main(out_dir, n_gt, n_points, n_cams, w, h, focal, capacity_round,
+         pair_capacity, scale_px, opa, downsample=4, seed=0):
     rng = np.random.default_rng(seed)
     interpret = jax.default_backend() != "tpu"
-    table = synthetic_table(n_gt, capacity_round=4096, focal=focal,
-                            scale_px=3.0, opa=0.7, seed=seed)
-    cfg = SplatConfig(capacity_round=4096)
+    table = synthetic_table(n_gt, capacity_round=capacity_round, focal=focal,
+                            scale_px=scale_px, opa=opa, seed=seed,
+                            frustum=(0.85, 0.55))
+    cfg = SplatConfig(capacity_round=capacity_round,
+                      pair_capacity=pair_capacity)
     grid = TileGrid(width=w, height=h, focal_x=focal, focal_y=focal)
     bspec, rspec = make_specs(grid, table.capacity, cfg, 3)
 
@@ -53,19 +74,25 @@ def main(out_dir, n_gt=50_000, n_points=15_000, n_cams=24, w=640, h=416,
     params, live = table.params(), table.live
     render = jax.jit(lambda rot, tran, shv: render_cropped(
         params, live, rot, tran, shv, grid, cfg, bspec, rspec,
-        interpret=interpret)[0])
+        interpret=interpret))
     for q, t, name in poses:
         rot = quat_to_rotmat_np(q)
         shv = np.stack(list(ray_info(rot, t, grid.padded_height,
                                      grid.padded_width, focal, focal
                                      ).values()))
-        img = np.asarray(render(jnp.asarray(rot, jnp.float32),
-                                jnp.asarray(t, jnp.float32),
-                                jnp.asarray(shv, jnp.float32)))
-        img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        img, aux = render(jnp.asarray(rot, jnp.float32),
+                          jnp.asarray(t, jnp.float32),
+                          jnp.asarray(shv, jnp.float32))
+        nd = int(aux["n_dropped"]) + int(aux["n_vis_dropped"])
+        if nd:
+            raise SystemExit(
+                f"GT render of {name} overflowed budgets (n_dropped="
+                f"{int(aux['n_dropped'])}, n_vis_dropped="
+                f"{int(aux['n_vis_dropped'])}); raise --pair_capacity")
+        img8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
         cv2.imwrite(os.path.join(img_dir, name),
                     cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
-        print("rendered", name, flush=True)
+        print("rendered", name, "pairs=", int(aux["n_pairs"]), flush=True)
 
     # degraded init point cloud: subsample GT + jitter
     n_live = int(table.n_live)
@@ -82,4 +109,9 @@ def main(out_dir, n_gt=50_000, n_points=15_000, n_cams=24, w=640, h=416,
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_scene")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="/tmp/synth_scene")
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="mid")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    main(args.out_dir, seed=args.seed, **PRESETS[args.preset])

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""The at-scale quality proof: 7k-iteration densifying training run at the
+reference's headline workload shape (Garden fast config: reference
+README.md:36 — `--grad_thresh 0.000002 --ssim_weight 0.1 --lr 0.002
+--grad_accum_method mean --grad_accum_iters 300 --split_thresh 0.08`,
+506,627 gaussians at 1297x840, PSNR 24.91 @7k).
+
+No dataset ships with the image, so the scene is the `garden` preset of
+scripts/make_synth_scene.py: 400k GT gaussians rendered to 56 views at
+1297x840 by this pipeline, with a degraded 140k-point init.  The run
+exercises everything the reference run does — densification growth across
+capacity buckets, budget retunes (recompiles), opacity-reset cadence,
+eval — and its final PSNR measures convergence against a realizable target.
+
+Writes {exp}/train.log and a JSON summary {exp}/summary.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="/tmp/garden_synth")
+    ap.add_argument("--exp", default="runs/7k_garden")
+    ap.add_argument("--n_iters", type=int, default=7001)
+    ap.add_argument("--use_sh_coeff", type=int, default=0)
+    ap.add_argument("--metrics_every", type=int, default=50)
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.scene, "sparse", "0",
+                                       "points3D.bin")):
+        from make_synth_scene import main as make_scene, PRESETS
+        make_scene(args.scene, **PRESETS["garden"])
+
+    os.makedirs(args.exp, exist_ok=True)
+    log_path = os.path.join(args.exp, "train.log")
+    log_f = open(log_path, "a", buffering=1)
+    events = []
+
+    def log(*a):
+        msg = " ".join(str(x) for x in a)
+        print(msg, flush=True)
+        log_f.write(msg + "\n")
+        if "recompil" in msg or "TEST" in msg or "densify" in msg:
+            events.append((time.time() - t0, msg))
+
+    from gsplat_tpu.train import build_argparser, configs_from_args, Trainer
+    from gsplat_tpu.models.splatter import Splatter
+
+    flags = [
+        "--data", args.scene, "--exp", args.exp,
+        "--n_iters", str(args.n_iters),
+        # reference fast config (README.md:36)
+        "--grad_thresh", "0.000002", "--ssim_weight", "0.1", "--lr", "0.002",
+        "--grad_accum_method", "mean", "--grad_accum_iters", "300",
+        "--split_thresh", "0.08",
+        "--use_sh_coeff", str(args.use_sh_coeff),
+        "--n_save_train_img", "1000",
+        "--metrics_every", str(args.metrics_every),
+    ]
+    a = build_argparser().parse_args(flags)
+    scfg, tcfg = configs_from_args(a)
+    t0 = time.time()
+    splat = Splatter(os.path.join(args.scene, "sparse", "0"),
+                     os.path.join(args.scene, "images_4"), scfg)
+    log(f"scene loaded: n_live={int(splat.table.n_live)} "
+        f"capacity={splat.table.capacity} ({time.time()-t0:.0f}s)")
+    trainer = Trainer(splat, tcfg)
+    cap_traj = [(0, int(splat.table.n_live), splat.table.capacity)]
+
+    orig_densify = trainer._densify
+
+    def densify_logged(i_iter, _ac, _in_reset):
+        orig_densify(i_iter, _ac, _in_reset)
+        cap_traj.append((i_iter, int(trainer.splat.table.n_live),
+                         trainer.splat.table.capacity))
+        log(f"densify @{i_iter}: n_live={cap_traj[-1][1]} "
+            f"capacity={cap_traj[-1][2]} t={time.time()-t0:.0f}s")
+
+    trainer._densify = densify_logged
+    trainer.train(metrics_every=a.metrics_every, log=log)
+    wall = time.time() - t0
+    ev = trainer.evaluate()
+    trainer.save()
+    trainer.save_full(os.path.join(args.exp, "full_state.npz"), a.n_iters)
+    summary = {
+        "n_iters": a.n_iters, "wall_s": wall,
+        "it_per_s_incl_compiles": a.n_iters / wall,
+        "final_psnr": ev["psnr"], "final_ssim": ev["ssim"],
+        "final_fps": ev["fps"],
+        "n_gaussians": int(trainer.splat.table.n_live),
+        "capacity_trajectory": cap_traj,
+        "use_sh_coeff": args.use_sh_coeff,
+    }
+    log("SUMMARY " + json.dumps(summary))
+    with open(os.path.join(args.exp, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

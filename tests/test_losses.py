@@ -46,12 +46,28 @@ def _ssim_numpy(a, b, data_range=1.0, ks=11, sigma=1.5):
     return s.mean()
 
 
-def test_ssim_matches_numpy_oracle(pair):
+@pytest.mark.parametrize("impl", ["matmul", "conv"])
+def test_ssim_matches_numpy_oracle(pair, impl):
     a, b = pair
     a, b = a[:32, :40], b[:32, :40]  # keep the O(n^2*k^2) oracle cheap
-    ours = float(ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0))
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0,
+                      impl=impl))
     ref = _ssim_numpy(a, b)
     assert abs(ours - ref) < 1e-4, (ours, ref)
+
+
+def test_ssim_matmul_equals_conv_with_grads(pair):
+    """The MXU band-matmul blur is numerically the depthwise conv blur."""
+    import jax
+
+    a, b = pair
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    v1 = float(ssim(aj, bj, impl="matmul"))
+    v2 = float(ssim(aj, bj, impl="conv"))
+    assert abs(v1 - v2) < 2e-6
+    g1 = jax.grad(lambda x: ssim(x, bj, impl="matmul"))(aj)
+    g2 = jax.grad(lambda x: ssim(x, bj, impl="conv"))(aj)
+    assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-6
 
 
 def test_ssim_matches_torchmetrics(pair):
