@@ -44,6 +44,10 @@ def main():
                     help="ground truth = this pipeline's own render of a "
                          "perturbed target table (realizable target; PSNR "
                          "line is meaningful) instead of random noise")
+    ap.add_argument("--fused_pack", type=int, default=1,
+                    help="1 = sort-carried channel packing (pack_sorted), "
+                         "0 = legacy sort+gather route (A/B lever; which "
+                         "wins depends on pair scale)")
     args = ap.parse_args()
     use_sh = bool(args.use_sh_coeff)
 
@@ -56,7 +60,8 @@ def main():
         n_gauss, w, h, focal = 20_000, 320, 240, 260.0
         m_cams, k_small, k_big = 8, 1, 3
 
-    cfg = SplatConfig(use_pallas=True, use_sh_coeff=use_sh)
+    cfg = SplatConfig(use_pallas=True, use_sh_coeff=use_sh,
+                      fused_pack=bool(args.fused_pack))
     tcfg = TrainConfig(ssim_weight=0.1)
     # frustum slightly wider than the view: ~60% of gaussians visible per
     # camera, matching real Garden-scene visibility (the old scene put 100%

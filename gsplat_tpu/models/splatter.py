@@ -47,7 +47,9 @@ class SceneCameras:
     w2c_rot: jnp.ndarray     # (M, 3, 3)
     w2c_tran: jnp.ndarray    # (M, 3)
     sh_vecs: jnp.ndarray     # (M, 4, 3) [rays_o, lefttop, dx, dy]
-    images: Optional[jnp.ndarray]  # (M, H, W, 3) uint8 ground truth
+    images: Optional[jnp.ndarray]  # (M, 3, H, W) uint8 GT (channel-major —
+                                   # matches the render layout; see
+                                   # ops/rasterize.assemble_image)
     grid: TileGrid
     names: list
 
@@ -112,7 +114,9 @@ def load_scene_camera_groups(colmap_path, image_path, render_downsample,
             w2c_rot=jnp.asarray(np.stack(b["rots"]), jnp.float32),
             w2c_tran=jnp.asarray(np.stack(b["trans"]), jnp.float32),
             sh_vecs=jnp.asarray(np.stack(shv), jnp.float32),
-            images=jnp.asarray(np.stack(b["imgs"])) if b["imgs"] else None,
+            # channel-major on device (transpose once on host at load)
+            images=jnp.asarray(np.stack(b["imgs"]).transpose(0, 3, 1, 2))
+            if b["imgs"] else None,
             grid=grid,
             names=b["names"],
         ))
@@ -222,13 +226,15 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
 
 def render_cropped(params, live, w2c_rot, w2c_tran, sh_vecs, grid, cfg,
                    bspec, rspec, interpret=False):
-    """Padded render, clamped and centre-cropped (splatter.py:650-655)."""
+    """Padded render, clamped and centre-cropped (splatter.py:650-655).
+
+    Returns a CHANNEL-MAJOR (3, H, W) image (see assemble_image)."""
     img, aux = render_padded(params, live, w2c_rot, w2c_tran, sh_vecs, grid,
                              cfg, bspec, rspec, interpret)
     img = jnp.clip(img, 0.0, 1.0)
     t, l = grid.crop_top, grid.crop_left
     return jax.lax.dynamic_slice(
-        img, (t, l, 0), (grid.height, grid.width, 3)), aux
+        img, (0, t, l), (3, grid.height, grid.width)), aux
 
 
 class Splatter:
@@ -334,7 +340,8 @@ class Splatter:
         return False
 
     def render(self, camera_id: int, interpret=None):
-        """Single-camera render (host convenience; jits per call-signature)."""
+        """Single-camera render → (3, H, W) channel-major (host convenience;
+        jits per call-signature)."""
         if interpret is None:
             interpret = self.cfg.use_pallas and jax.default_backend() != "tpu"
         grid = self.cameras.grid
@@ -347,6 +354,7 @@ class Splatter:
         return img
 
     def ground_truth(self, camera_id: int):
+        """GT image as stored: channel-major (3, H, W) float in [0, 1]."""
         return self.cameras.images[camera_id].astype(jnp.float32) / 255.0
 
 

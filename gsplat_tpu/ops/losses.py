@@ -61,27 +61,47 @@ def _band_matrix(n: int, kernel_size: int, sigma: float):
     return band
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_size", "impl"))
+@functools.partial(jax.jit, static_argnames=("kernel_size", "impl", "layout"))
 def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
          kernel_size: int = 11, sigma: float = 1.5,
-         impl: str = "matmul") -> jnp.ndarray:
-    """Mean SSIM over an (H, W, C) image pair (gaussian window, valid region).
+         impl: str = "matmul", layout: str = "hwc") -> jnp.ndarray:
+    """Mean SSIM over an image pair (gaussian window, valid region).
 
     Matches torchmetrics ``StructuralSimilarityIndexMeasure(data_range=1.0)``
     numerics (verified in tests/test_losses.py).
 
+    layout="hwc" takes (H, W, C); layout="chw" takes the pipeline's
+    channel-major (C, H, W) images (no layout shuffles anywhere — a
+    minor-dim-3 transpose costs ~30 ms at 1297x840 on TPU).
+
     impl="matmul" (default) evaluates the separable blur as two banded
-    matmuls over a stacked 15-channel moment image — MXU work, with the
-    SSIM arithmetic done directly in the post-contraction (C, W', H')
-    layout so no transposes are introduced.  impl="conv" is the depthwise-
-    convolution reference (cross-checked in tests).
+    matmuls over a stacked 5C-channel moment image — MXU work, with the
+    SSIM arithmetic done directly in the post-contraction layout so no
+    transposes are introduced.  impl="conv" is the depthwise-convolution
+    reference (cross-checked in tests; hwc only).
     """
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)
 
-    if impl == "matmul":
+    if impl == "matmul" and layout == "chw":
+        c, h, w = p.shape
+        bw = jnp.asarray(_band_matrix(w, kernel_size, sigma))  # (W, W')
+        bh = jnp.asarray(_band_matrix(h, kernel_size, sigma))  # (H, H')
+        x = jnp.concatenate([p, t, p * p, t * t, p * t], axis=0)  # (5C,H,W)
+        hi = jax.lax.Precision.HIGHEST
+        # (5C, H, W) ·_H (H, H') → (5C, W, H')
+        y = jax.lax.dot_general(x, bh, (((1,), (0,)), ((), ())),
+                                precision=hi)
+        # (5C, W, H') ·_W (W, W') → (5C, H', W')
+        z = jax.lax.dot_general(y, bw, (((1,), (0,)), ((), ())),
+                                precision=hi)
+        mu_p, mu_t = z[:c], z[c:2 * c]
+        mu_pp = z[2 * c:3 * c] - mu_p * mu_p
+        mu_tt = z[3 * c:4 * c] - mu_t * mu_t
+        mu_pt = z[4 * c:5 * c] - mu_p * mu_t
+    elif impl == "matmul":
         h, w, c = p.shape
         bw = jnp.asarray(_band_matrix(w, kernel_size, sigma))  # (W, W')
         bh = jnp.asarray(_band_matrix(h, kernel_size, sigma))  # (H, H')
@@ -98,6 +118,9 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
         mu_tt = z[3 * c:4 * c] - mu_t * mu_t
         mu_pt = z[4 * c:5 * c] - mu_p * mu_t
     else:
+        if layout == "chw":
+            p = jnp.transpose(p, (1, 2, 0))
+            t = jnp.transpose(t, (1, 2, 0))
         g = _gauss_kernel(kernel_size, sigma)
 
         def blur(x):  # x: (H, W, C) → separable depthwise gaussian, VALID

@@ -286,15 +286,28 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, chunk_len,
 
 
 def assemble_image(tiles_color, tiles_accw, spec: RasterSpec):
-    """(T+1, 3, Px) tile rows → (padded_h, padded_w, 3) image."""
+    """(T+1, 3, Px) tile rows → (3, padded_h, padded_w) channel-major image.
+
+    Images are CHANNEL-MAJOR (C, H, W) throughout the pipeline: a
+    minor-dim-3 (H, W, 3) layout makes every downstream transpose/layout
+    op pathological on TPU (8x128 tiling against a 3-wide minor axis —
+    measured ~30 ms per layout shuffle at 1297x840, and the SSIM backward's
+    AD transpose alone was 31 ms/step).  Host-facing surfaces (viewer
+    frames, image dumps) convert with ``chw_to_hwc`` at the edge.
+    """
     col = tiles_color[:spec.n_tiles]                # (T, 3, Px)
     if spec.weight_normalize:
         accw = tiles_accw[:spec.n_tiles][:, None, :]
         col = col / jnp.where(accw < 0.01, 1.0, accw)
     img = col.reshape(spec.n_tile_y, spec.n_tile_x, 3, spec.tile_h,
                       spec.tile_w)
-    img = img.transpose(0, 3, 1, 4, 2)
-    return img.reshape(spec.padded_h, spec.padded_w, 3)
+    img = img.transpose(2, 0, 3, 1, 4)
+    return img.reshape(3, spec.padded_h, spec.padded_w)
+
+
+def chw_to_hwc(img):
+    """Channel-major device image → (H, W, 3) (host-edge convenience)."""
+    return jnp.transpose(img, (1, 2, 0))
 
 
 # ---------------------------------------------------------------------------

@@ -90,4 +90,5 @@ def rasterize_oracle(
     if weight_normalize:
         denom = jnp.where(accw < 0.01, 1.0, accw)          # cu:964-966
         col = col / denom[..., None]
-    return col
+    # channel-major, matching the production pipeline layout (assemble_image)
+    return jnp.transpose(col, (2, 0, 1))

@@ -32,7 +32,7 @@ class DPCameras(NamedTuple):
     w2c_rot: jnp.ndarray   # (M, 3, 3)
     w2c_tran: jnp.ndarray  # (M, 3)
     sh_vecs: jnp.ndarray   # (M, 4, 3)
-    images: jnp.ndarray    # (M, H, W, 3) uint8
+    images: jnp.ndarray    # (M, 3, H, W) uint8 (channel-major)
 
 
 def make_dp_train_step(grid, cfg: SplatConfig, tcfg: TrainConfig, bspec,

@@ -31,8 +31,8 @@ from gsplat_tpu.ops.rasterize import rasterize
 
 def make_tile_sharded_render(grid: TileGrid, cfg, capacity: int,
                              mesh: Mesh, axis: str = "sp", interpret=False):
-    """Returns render(params, live, rot, tran, shv) → (padded_h, padded_w, 3)
-    with the row axis sharded over ``axis``."""
+    """Returns render(params, live, rot, tran, shv) → (3, padded_h, padded_w)
+    channel-major, with the row axis sharded over ``axis``."""
     n_dev = mesh.shape[axis]
     if grid.n_tile_y % n_dev:
         raise ValueError(
@@ -80,14 +80,14 @@ def make_tile_sharded_render(grid: TileGrid, cfg, capacity: int,
         img = rasterize(packed, binned, rspec,
                         sh_vecs=shv_band if cfg.use_sh_coeff else None,
                         use_pallas=cfg.use_pallas, interpret=interpret)
-        return img                                   # (band_h, W, 3)
+        return img                                   # (3, band_h, W)
 
     rep = P()
     sharded = shard_map(
         shard_fn, mesh=mesh,
         in_specs=({k: rep for k in ("pos", "rgb", "opa", "quat", "scale")},
                   rep, rep, rep, rep),
-        out_specs=P(axis),                            # bands stack on axis 0
+        out_specs=P(None, axis),       # bands stack on the row axis (chw)
         check_vma=False,
     )
     return jax.jit(sharded)

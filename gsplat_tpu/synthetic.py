@@ -82,8 +82,9 @@ def synthetic_cameras(m: int, width: int, height: int, focal: float,
             focal, focal).values())))
     images = None
     if with_images:
+        # channel-major, matching the render pipeline layout
         images = jnp.asarray(
-            rng.integers(0, 255, (m, height, width, 3), dtype=np.uint8))
+            rng.integers(0, 255, (m, 3, height, width), dtype=np.uint8))
     return {
         "w2c_rot": jnp.asarray(np.stack(rots), jnp.float32),
         "w2c_tran": jnp.asarray(np.stack(trans), jnp.float32),

@@ -85,7 +85,7 @@ def make_loss_fn(grid, cfg, tcfg: TrainConfig, bspec, rspec, interpret=False):
                                   bspec, rspec, interpret)
         l1 = l1_loss(img, gt)
         if ssim_w > 0:
-            s = ssim(img, gt, data_range=1.0)
+            s = ssim(img, gt, data_range=1.0, layout="chw")
             loss = (1 - ssim_w) * l1 + ssim_w * (1.0 - s)
         else:
             s = jnp.float32(1.0)
@@ -228,7 +228,7 @@ def make_eval_batch(splat: Splatter, interpret=False, group: int = 0):
             img, _ = render_cropped(params, live, rot, tran, shv, grid, cfg,
                                     bspec, rspec, interpret)
             return c, (psnr(img, gt, data_range=1.0),
-                       ssim(img, gt, data_range=1.0))
+                       ssim(img, gt, data_range=1.0, layout="chw"))
         _, (ps, ss) = jax.lax.scan(body, 0.0, cam_ids)
         return ps, ss
 
@@ -262,7 +262,8 @@ def make_eval_step(splat: Splatter, interpret=False, group: int = 0):
         gt = cams.images[cam_idx].astype(jnp.float32) / 255.0
         img, _ = render_cropped(params, live, rot, tran, shv, grid, cfg,
                                 bspec, rspec, interpret)
-        return img, psnr(img, gt, data_range=1.0), ssim(img, gt, data_range=1.0)
+        return img, psnr(img, gt, data_range=1.0), \
+            ssim(img, gt, data_range=1.0, layout="chw")
 
     return eval_step
 
@@ -564,7 +565,8 @@ class Trainer:
 
         img, _, _ = self._eval_step_for(0)(self.state.params,
                                            self.state.live, camera_id)
-        arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        arr = (np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
+               * 255).astype(np.uint8)
         d = os.path.join(self.tcfg.exp, "imgs")
         os.makedirs(d, exist_ok=True)
         cv2.imwrite(os.path.join(d, f"train_{i_iter}.png"), arr[..., ::-1])

@@ -90,7 +90,8 @@ def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
         jnp.asarray(rot, jnp.float32), jnp.asarray(tran, jnp.float32),
         jnp.asarray(shv, jnp.float32), grid, cfg, bspec, rspec,
         interpret=interpret)
-    return np.asarray(img)
+    # pipeline images are channel-major; viewers want (H, W, 3)
+    return np.asarray(img).transpose(1, 2, 0)
 
 
 def run_viewer(splat, port: int = 6789, trainer=None, server=None,

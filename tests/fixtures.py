@@ -97,7 +97,8 @@ def make_scene(tmpdir, n_points=120, n_cameras=4, w=64, h=48, focal=60.0,
             jnp.asarray(opa)[order], jnp.asarray(rgb[order] / 255.0,
                                                  jnp.float32),
             h, w, focal, focal)
-        img8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        img8 = (np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
+                * 255).astype(np.uint8)
         gts[name] = img8
         cv2.imwrite(os.path.join(img_dir, name),
                     cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
@@ -185,7 +186,8 @@ def make_mixed_scene(tmpdir, n_points=120, sizes=((64, 48, 60.0, 4),
             proj.mean2d[order], proj.cov2d[order],
             jnp.asarray(opa)[order],
             jnp.asarray(rgb[order] / 255.0, jnp.float32), h, w, fx, fy)
-        img8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        img8 = (np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
+                * 255).astype(np.uint8)
         cv2.imwrite(os.path.join(img_dir, name),
                     cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
     return tmpdir

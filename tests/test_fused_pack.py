@@ -55,7 +55,7 @@ def test_fused_full_input_grads_match(rng):
     proj, opa, color, bspec, rspec = image_space_scene(rng, n=120)
     tgt = jnp.asarray(
         np.random.default_rng(7).uniform(
-            0, 1, (rspec.padded_h, rspec.padded_w, 3)), jnp.float32)
+            0, 1, (3, rspec.padded_h, rspec.padded_w)), jnp.float32)
 
     def loss_legacy(mean2d, cov2d, opa_, color_):
         p = proj._replace(mean2d=mean2d, cov2d=cov2d)
@@ -132,10 +132,11 @@ def test_fused_truncation_fail_safe(rng):
     refarr = np.asarray(ref)
     for t in range(rspec.n_tiles):
         ty, tx = divmod(t, rspec.n_tile_x)
-        blk = arr[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+        blk = arr[:, ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
         if tile_ok[t]:
             np.testing.assert_allclose(
-                blk, refarr[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw],
+                blk,
+                refarr[:, ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw],
                 atol=1e-5)
         else:
             np.testing.assert_array_equal(blk, 0.0)

@@ -36,7 +36,7 @@ def test_switch_resolution(tmp_path):
     assert sp.cameras.grid.width == 128 and sp.cameras.grid.height == 96
     np.testing.assert_allclose(sp.cameras.grid.focal_x, f4 * 2, rtol=1e-6)
     img = sp.render(0)
-    assert img.shape == (96, 128, 3)
+    assert img.shape == (3, 96, 128)  # channel-major
     # no-op switch keeps everything
     sp.switch_resolution(2)
     assert sp.cameras.grid.width == 128

@@ -37,7 +37,7 @@ def test_splatter_loads_and_renders(scene):
     assert sp.cameras.n_cameras == 9
     assert sp.cameras.grid.width == 64 and sp.cameras.grid.height == 48
     img = sp.render(0)
-    assert img.shape == (48, 64, 3)
+    assert img.shape == (3, 48, 64)  # channel-major
     a = np.asarray(img)
     assert np.isfinite(a).all() and a.max() > 0.05
 
