@@ -141,7 +141,7 @@ def main():
                                    cams["w2c_tran"][c], cams["sh_vecs"][c],
                                    grid, gt_cfg, bspec, rspec,
                                    interpret=interpret)
-            img = jnp.clip(img[:h, :w], 0.0, 1.0)
+            img = jnp.clip(img[:, :h, :w], 0.0, 1.0)  # chw crop
             return (img * 255).astype(jnp.uint8)
 
         gt_imgs = jnp.stack([gt_frame(c) for c in range(m_cams)])
@@ -219,7 +219,7 @@ def main():
                                    cams["w2c_tran"][c0], cams["sh_vecs"][c0],
                                    grid, cfg, bspec, rspec,
                                    interpret=interpret)
-            img = jnp.clip(img[:h, :w], 0.0, 1.0)
+            img = jnp.clip(img[:, :h, :w], 0.0, 1.0)  # chw crop
             return psnr_fn(img, gt0, data_range=1.0)
 
         extras["psnr_after_burst"] = round(float(cur_psnr(st.params,

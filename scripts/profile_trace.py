@@ -49,6 +49,7 @@ def trace_and_attribute(fn, args, outdir):
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             pid_names[ev["pid"]] = ev["args"].get("name", "")
     bucket = defaultdict(float)
+    singles = defaultdict(float)
     total = 0.0
     for ev in tr["traceEvents"]:
         if ev.get("ph") != "X":
@@ -61,7 +62,8 @@ def trace_and_attribute(fn, args, outdir):
         total += dur
         key = name.split(".")[0].split("(")[0]
         bucket[key] += dur
-    return bucket, total
+        singles[name[:70]] += dur
+    return bucket, singles, total
 
 
 def main():
@@ -102,10 +104,14 @@ def main():
         def call(s, salt):
             return float(run(s, salt))
 
-    bucket, total = trace_and_attribute(call, args, f"/tmp/trace_{mode}")
+    bucket, singles, total = trace_and_attribute(call, args,
+                                                 f"/tmp/trace_{mode}")
     print(f"== {mode} device total {total:.1f} ms over 3 reps "
           f"(~{total/3:.1f} ms each) ==")
-    for k, v in sorted(bucket.items(), key=lambda kv: -kv[1])[:40]:
+    for k, v in sorted(bucket.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{v/3:9.2f} ms  {k}")
+    print("-- top individual ops --")
+    for k, v in sorted(singles.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{v/3:9.2f} ms  {k}")
 
 
