@@ -75,6 +75,13 @@ class SplatConfig:
     # (ops/binning.pack_sorted).  False = legacy bin_gaussians + pack_pairs
     # (pair-scale gathers; kept as the cross-check/oracle route).
     fused_pack: bool = True
+    # candidate-plane construction for the fused path (ops/binning):
+    # "colcap" slices each plane column to its coverage prefix (pair scale
+    # ~= real pair count instead of V*K); "dense" is the (V, K) plane.
+    plane_mode: str = "colcap"
+    # static per-column row caps for colcap (None = start at visible_rows
+    # per column and let the trainer retune from observed column fills)
+    col_caps: Optional[tuple] = None
 
     @property
     def tile_px(self) -> int:

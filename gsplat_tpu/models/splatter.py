@@ -137,6 +137,16 @@ def load_scene_cameras(colmap_path, image_path, render_downsample,
     return groups[0]
 
 
+def _norm_col_caps(caps, k: int) -> tuple:
+    """Pad/trim colcap column caps to the current plane width K (K can grow
+    via the clipped-fraction guard; new columns inherit the last cap)."""
+    if not caps:
+        return ()
+    caps = list(caps)[:k]
+    caps += [caps[-1]] * (k - len(caps))
+    return tuple(caps)
+
+
 def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
                color_dim: int):
     """Static binning + raster specs for a (grid, capacity) signature."""
@@ -163,6 +173,9 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         method=method,
         thresh=thresh,
         visible_rows=int(cfg.visible_rows or 0),
+        plane_mode=getattr(cfg, "plane_mode", "dense"),
+        col_caps=_norm_col_caps(getattr(cfg, "col_caps", None),
+                                cfg.max_tiles_per_gaussian),
     )
     rspec = RasterSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
@@ -212,6 +225,7 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
     img = rasterize(packed, binned, rspec,
                     sh_vecs=sh_vecs if cfg.use_sh_coeff else None,
                     use_pallas=cfg.use_pallas, interpret=interpret)
+    k = bspec.max_tiles_per_gaussian
     aux = {
         "visible": proj.visible,
         "n_pairs": binned.n_pairs,
@@ -220,6 +234,10 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
         "n_visible": binned.n_visible,
         "n_vis_dropped": binned.n_vis_dropped,
         "n_dropped": binned.n_dropped,
+        "col_fill": binned.col_fill if binned.col_fill is not None
+        else jnp.zeros((k,), jnp.int32),
+        "n_plane_clipped": binned.n_plane_clipped
+        if binned.n_plane_clipped is not None else jnp.zeros((), jnp.int32),
     }
     return img, aux
 
@@ -279,7 +297,7 @@ class Splatter:
     def specs(self, grid: TileGrid | None = None):
         grid = grid or self.cameras.grid
         key = (grid, self.table.capacity, self.cfg.pair_capacity,
-               self.cfg.visible_rows)
+               self.cfg.visible_rows, self.cfg.col_caps)
         if key not in self._specs_cache:
             self._specs_cache[key] = make_specs(
                 grid, self.table.capacity, self.cfg, self.color_dim)
@@ -301,6 +319,36 @@ class Splatter:
             self.cfg.pair_capacity = target
             return True
         return False
+
+    def retune_col_caps(self, col_fill) -> bool:
+        """Resize the colcap per-column row caps toward observed fills.
+
+        ``col_fill`` is the (K,) vector of real column fills m_k from the
+        last step's aux.  Caps get a 1.25x margin (rounded to 4096) so
+        densification growth and camera variation rarely overflow; overflow
+        is fail-safe (pairs of the deepest rows drop, ``n_plane_clipped``)
+        and triggers an immediate retune in the trainer.
+        """
+        if self.cfg.plane_mode != "colcap":
+            return False
+        k = self.cfg.max_tiles_per_gaussian
+        fills = [int(x) for x in col_fill][:k]
+        fills += [0] * (k - len(fills))
+        v = int(self.cfg.visible_rows or self.table.capacity)
+        cur = list(self.cfg.col_caps or (v,) * k)
+        cur += [cur[-1] if cur else v] * (k - len(cur))
+        new = []
+        changed = False
+        for f, c_ in zip(fills, cur[:k]):
+            target = min(max((f * 5 // 4 // 4096 + 1) * 4096, 4096), v)
+            if c_ < f * 11 // 10 or c_ > target * 2:
+                new.append(target)
+                changed = True
+            else:
+                new.append(c_)
+        if changed:
+            self.cfg.col_caps = tuple(new)
+        return changed
 
     def retune_visible_rows(self, n_visible: int) -> bool:
         """Shrink the candidate plane toward observed per-view visibility

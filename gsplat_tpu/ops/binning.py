@@ -70,6 +70,25 @@ class BinningSpec(NamedTuple):
     # scenes 40-60% of rows are dead).  0 = table capacity.  Overflow drops
     # the FARTHEST visible gaussians and is reported via n_vis_dropped.
     visible_rows: int = 0
+    # Candidate-plane construction (pack_sorted fast path only):
+    #   "dense"  — a (V, K) plane; dead candidates (coverage < K) ride the
+    #              sorts as sentinel rows (avg real coverage is ~2.4 at
+    #              Garden scale, so ~60% of the plane is dead weight);
+    #   "colcap" — rows are coverage-sorted (descending, depth-stable), so
+    #              column k's real entries form a PREFIX of length
+    #              m_k = #rows with coverage > k, and each column is
+    #              statically sliced to ``col_caps[k]`` ≈ m_k · margin.
+    #              Pair-plane size drops from V·K to ~Σ m_k (≈ real pair
+    #              count).  Depth order is preserved by sorting on the
+    #              composite key (tile << rank_bits) | (depth_rank >> s)
+    #              — finer depth resolution than the reference's float
+    #              key (splatter.py:608-613 packs depth into the mantissa
+    #              bits left over after tile_id).
+    plane_mode: str = "dense"
+    # static per-column row caps for "colcap" (len == max_tiles_per_gaussian,
+    # retuned by the trainer from the observed column fills `col_fill`);
+    # () = every column capped at V (equivalent to dense-size worst case)
+    col_caps: tuple = ()
 
     @property
     def n_tiles(self) -> int:
@@ -106,6 +125,8 @@ class BinnedPairs(NamedTuple):
     n_max_tiles: jnp.ndarray  # ()    max tiles covered by any gaussian
     n_visible: jnp.ndarray    # ()    frustum-visible gaussians
     n_vis_dropped: jnp.ndarray  # ()  visible gaussians beyond visible_rows
+    col_fill: jnp.ndarray = None          # (K,) colcap column fills (unused)
+    n_plane_clipped: jnp.ndarray = None   # () colcap cap overflow (unused)
 
 
 def _tile_bbox(spec: BinningSpec, mean2d, cov2d, visible):
@@ -318,6 +339,10 @@ class PackedMeta(NamedTuple):
     n_max_tiles: jnp.ndarray
     n_visible: jnp.ndarray
     n_vis_dropped: jnp.ndarray
+    # colcap diagnostics: per-column real fills m_k (the trainer retunes
+    # col_caps from these) and pairs lost to column caps (0 in dense mode)
+    col_fill: jnp.ndarray = None          # (K,) i32
+    n_plane_clipped: jnp.ndarray = None   # ()
 
 
 def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
@@ -438,8 +463,191 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
         n_pairs=n_pairs, n_clipped=n_clipped, n_dropped=n_dropped,
         n_max_tiles=n_max_tiles, n_visible=n_visible,
         n_vis_dropped=n_vis_dropped,
+        col_fill=jnp.zeros((K,), jnp.int32),
+        n_plane_clipped=jnp.zeros((), jnp.int32),
     )
-    return (geom_s, colors_s), meta, (sorted_flat, inv_order)
+    return (geom_s, colors_s), meta, (sorted_flat, inv_order, None)
+
+
+def _rank_bits_shift(n_tiles: int, v: int):
+    """Composite-key layout: key = (tile << rb) | (depth_rank >> shift).
+
+    rb leaves room for the sentinel tile id ``n_tiles``; shift quantizes the
+    depth rank so it fits under the all-ones pad marker.  Depth resolution
+    is 2^shift adjacent ranks (shift is 0 up to 262k visible rows at Garden
+    tile counts — far finer than the reference's float key, which leaves
+    only ~11 mantissa bits for depth, splatter.py:608-613).
+    """
+    rb = 31 - int(n_tiles).bit_length()
+    shift = 0
+    while (max(v, 2) - 1) >> shift >= (1 << rb) - 1:
+        shift += 1
+    return rb, shift
+
+
+def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
+                             visible):
+    """Column-compacted forward: plane columns sliced to coverage prefixes.
+
+    Rows are ordered coverage-descending (stable → depth order within equal
+    coverage), so column k's real candidates occupy the first
+    m_k = #rows(coverage > k) entries and each column is statically sliced
+    to ``spec.col_caps[k]``.  The pair plane shrinks from V·K to ~Σ m_k —
+    and every pair-scale sort/op cost with it (sorts cost ~2.6 ms per f32
+    payload per 4M rows on v5e; pair scale is the only real lever,
+    PERF.md).  Ordering is restored by the composite (tile, depth-rank)
+    key; overflowing columns drop their deepest rows' pairs, reported via
+    ``n_plane_clipped`` and retuned by the trainer like every other budget.
+    """
+    n = depth.shape[0]
+    K, G, T = spec.max_tiles_per_gaussian, spec.chunk_size, spec.n_tiles
+    V = min(spec.visible_rows or n, n)
+    caps = spec.col_caps or (V,) * K
+    assert len(caps) == K, (caps, K)
+    caps = tuple(min(int(c_), V) for c_ in caps)
+    P = sum(caps)
+    NC, S = spec.num_chunks, spec.num_slots
+    padw = max(G - 1, 1)
+    p_tot = P + T * padw
+    L = max(p_tot, S)
+    c_cols = color_n.shape[1]
+    rb, shift = _rank_bits_shift(T, V)
+    sent = jnp.int32(T << rb)
+    pad_rank = jnp.int32((1 << rb) - 1)
+
+    # ---- depth ordering (row-scale gathers only) ------------------------
+    depth_key = jnp.where(visible, depth, jnp.inf)
+    order = jnp.argsort(depth_key).astype(jnp.int32)
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+    n_visible = jnp.sum(visible)
+    n_vis_dropped = jnp.maximum(n_visible - V, 0)
+    geom_o = jnp.take(geom_n, order[:V], axis=0)          # (V, 8)
+    color_o = jnp.take(color_n, order[:V], axis=0)        # (V, c)
+    vis_o = jnp.take(visible, order[:V], axis=0)
+
+    # ---- coverage (depth order) + column fills --------------------------
+    x0d, y0d, rwd, rhd = _tile_bbox(spec, geom_o[:, 0:2], geom_o[:, 2:6],
+                                    vis_o)
+    cov_d = jnp.minimum(rwd * rhd, K)
+    n_clipped = jnp.sum(jnp.maximum(rwd * rhd - K, 0))
+    n_max_tiles = jnp.max(rwd * rhd)
+    m = jnp.stack([jnp.sum(cov_d > k) for k in range(K)])  # (K,) fills
+
+    # ---- coverage-descending stable order (depth-stable within ties) ----
+    cov_order = jnp.argsort((K - cov_d).astype(jnp.int32),
+                            stable=True).astype(jnp.int32)
+    inv_cov = jnp.argsort(cov_order).astype(jnp.int32)
+    geom_s = jnp.take(geom_o, cov_order, axis=0)
+    color_s = jnp.take(color_o, cov_order, axis=0)
+    vis_s = jnp.take(vis_o, cov_order, axis=0)
+    x0, y0, rw, rh = _tile_bbox(spec, geom_s[:, 0:2], geom_s[:, 2:6], vis_s)
+    rank = cov_order                                       # depth rank
+
+    # ---- per-column candidate slices ------------------------------------
+    key_parts, flat_parts = [], []
+    chan_cols = [geom_s[:, j] for j in range(7)] \
+        + [color_s[:, j] for j in range(c_cols)]
+    chan_parts = [[] for _ in chan_cols]
+    off = 0
+    n_plane_clipped = jnp.zeros((), jnp.int32)
+    kk = jnp.int32
+    for k in range(K):
+        cpk = caps[k]
+        rw_k = jnp.maximum(rw[:cpk], 1)
+        ky = kk(k) // rw_k
+        kx = kk(k) - ky * rw_k
+        tile_k = (x0[:cpk] + kx) + (y0[:cpk] + ky) * spec.n_tile_x
+        mk = jnp.minimum(m[k], cpk)
+        valid_k = jax.lax.iota(jnp.int32, cpk) < mk
+        if spec.method == "dist":
+            tcx = spec.leftmost + (x0[:cpk] + kx + 0.5) * spec.tile_len_x
+            tcy = spec.topmost + (y0[:cpk] + ky + 0.5) * spec.tile_len_y
+            d2 = ((geom_s[:cpk, 0] - tcx) ** 2
+                  + (geom_s[:cpk, 1] - tcy) ** 2)
+            valid_k = valid_k & (d2 < spec.thresh)
+        key_k = jnp.where(
+            valid_k,
+            jnp.left_shift(tile_k, rb) | (rank[:cpk] >> shift), sent)
+        key_parts.append(key_k)
+        flat_parts.append(off + jax.lax.iota(jnp.int32, cpk))
+        for ci, col in enumerate(chan_cols):
+            chan_parts[ci].append(col[:cpk])
+        n_plane_clipped += jnp.maximum(m[k] - cpk, 0)
+        off += cpk
+    pair_key = jnp.concatenate(key_parts)
+    n_pairs = jnp.sum(pair_key < sent)
+
+    # ---- key-only sort → per-tile counts + chunk metadata ---------------
+    sorted_key = jax.lax.sort((pair_key,), num_keys=1, is_stable=False)[0]
+    bounds = jnp.left_shift(jnp.arange(T + 1, dtype=jnp.int32), rb)
+    starts = jnp.searchsorted(sorted_key, bounds).astype(jnp.int32)
+    counts = jnp.diff(starts)                              # (T,)
+    nchunk_t = (counts + G - 1) // G
+    chunk_cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(nchunk_t).astype(jnp.int32)])
+    nc_used = chunk_cum[-1]
+    n_dropped = jnp.maximum(nc_used - NC, 0)
+    tile_ok = jnp.concatenate(
+        [(counts > 0) & (chunk_cum[1:] <= NC), jnp.zeros((1,), jnp.bool_)])
+
+    cids = jnp.arange(NC, dtype=jnp.int32)
+    tile_of_chunk = jnp.clip(
+        jnp.searchsorted(chunk_cum, cids, side="right") - 1, 0, T - 1
+    ).astype(jnp.int32)
+    chunk_used = cids < nc_used
+    chunk_tile = jnp.where(chunk_used, tile_of_chunk, T)
+    chunk_within = cids - chunk_cum[tile_of_chunk]
+    chunk_first = chunk_used & (chunk_within == 0)
+    chunk_last = chunk_used & (chunk_within == nchunk_t[tile_of_chunk] - 1)
+    chunk_len = jnp.where(
+        chunk_used,
+        jnp.clip(counts[tile_of_chunk] - chunk_within * G, 0, G),
+        0).astype(jnp.int32)
+
+    # ---- alignment pads: (-count % G) rows per non-empty tile -----------
+    pad_t = jnp.where(counts > 0, (-counts) % G, 0)
+    jj = jnp.arange(padw, dtype=jnp.int32)[None, :]
+    tid = jnp.arange(T, dtype=jnp.int32)[:, None]
+    pad_keys = jnp.where(jj < pad_t[:, None],
+                         jnp.left_shift(tid, rb) | pad_rank,
+                         sent).reshape(T * padw)
+
+    # ---- the payload sort: channels ride the sort -----------------------
+    zpad = jnp.zeros((T * padw,), jnp.float32)
+    key_full = jnp.concatenate([pair_key, pad_keys])
+    flat_full = jnp.concatenate(
+        [jnp.concatenate(flat_parts),
+         jnp.full((T * padw,), P, jnp.int32)])
+    ops = (key_full, flat_full) + tuple(
+        jnp.concatenate(parts + [zpad]) for parts in chan_parts)
+    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    sorted_flat = out[1]
+
+    def fit(a, fill=0):
+        if p_tot < L:
+            a = jnp.concatenate(
+                [a, jnp.full((L - p_tot,), fill, a.dtype)])
+        return a[:S]
+
+    zcol = jnp.zeros((S,), jnp.float32)
+    geom_pk = jnp.stack([fit(out[2 + j]) for j in range(7)] + [zcol], axis=0)
+    c_pad = -c_cols % 8
+    colors_pk = jnp.stack(
+        [fit(out[9 + j]) for j in range(c_cols)] + [zcol] * c_pad, axis=0)
+
+    if p_tot < L:
+        sorted_flat = jnp.concatenate(
+            [sorted_flat, jnp.full((L - p_tot,), P, jnp.int32)])
+
+    meta = PackedMeta(
+        chunk_tile=chunk_tile, chunk_first=chunk_first,
+        chunk_last=chunk_last, chunk_len=chunk_len, tile_ok=tile_ok,
+        n_pairs=n_pairs, n_clipped=n_clipped, n_dropped=n_dropped,
+        n_max_tiles=n_max_tiles, n_visible=n_visible,
+        n_vis_dropped=n_vis_dropped,
+        col_fill=m, n_plane_clipped=n_plane_clipped,
+    )
+    return (geom_pk, colors_pk), meta, (sorted_flat, inv_order, inv_cov)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -459,25 +667,33 @@ def pack_sorted(spec: BinningSpec, geom_n, color_n, depth, visible):
     CHANNEL-MAJOR chunk-aligned buffers (consume with a raster spec carrying
     ``channel_major=True``), meta = :class:`PackedMeta`.
     """
-    packed, meta, _ = _pack_sorted_impl(spec, geom_n, color_n, depth, visible)
+    impl = (_pack_sorted_colcap_impl if spec.plane_mode == "colcap"
+            else _pack_sorted_impl)
+    packed, meta, _ = impl(spec, geom_n, color_n, depth, visible)
     return packed, meta
 
 
 def _pack_sorted_fwd(spec, geom_n, color_n, depth, visible):
-    packed, meta, res = _pack_sorted_impl(spec, geom_n, color_n, depth,
-                                          visible)
+    impl = (_pack_sorted_colcap_impl if spec.plane_mode == "colcap"
+            else _pack_sorted_impl)
+    packed, meta, res = impl(spec, geom_n, color_n, depth, visible)
     n = geom_n.shape[0]
     return (packed, meta), (res, n, color_n.shape[1], depth, visible)
 
 
 def _pack_sorted_bwd(spec, residuals, cts):
-    (sorted_flat, inv_order), n, c_cols, depth, visible = residuals
+    (sorted_flat, inv_order, inv_cov), n, c_cols, depth, visible = residuals
     (g_geom, g_color), _g_meta = cts
     K, G = spec.max_tiles_per_gaussian, spec.chunk_size
     S = spec.num_slots
     L = sorted_flat.shape[0]
     V = min(spec.visible_rows or n, n)
-    P = V * K
+    if spec.plane_mode == "colcap":
+        caps = spec.col_caps or (V,) * K
+        caps = tuple(min(int(c_), V) for c_ in caps)
+        P = sum(caps)
+    else:
+        P = V * K
 
     def unfit(col):  # (S,) cotangent row → (L,)
         if L > S:
@@ -490,12 +706,32 @@ def _pack_sorted_bwd(spec, residuals, cts):
     # one sort inverts the tile sort (pads carry sentinel key P → sort last)
     out = jax.lax.sort((sorted_flat,) + cols, num_keys=1, is_stable=False)
 
-    def reduce_rows(col):  # candidate order → (V,) depth-row sums
-        return col[:P].reshape(V, K).sum(axis=1)
+    if spec.plane_mode == "colcap":
+        def reduce_rows(col):
+            # column-major plane: column k's grads live at a static slice;
+            # the per-row reduction over covered columns is K slice-adds at
+            # row scale (no pair-scale gathers)
+            acc = jnp.zeros((V,), col.dtype)
+            off = 0
+            for cpk in caps:
+                seg = col[off:off + cpk]
+                if cpk < V:
+                    seg = jnp.concatenate(
+                        [seg, jnp.zeros((V - cpk,), col.dtype)])
+                acc = acc + seg
+                off += cpk
+            return acc
+    else:
+        def reduce_rows(col):  # candidate order → (V,) depth-row sums
+            return col[:P].reshape(V, K).sum(axis=1)
 
     rows = [reduce_rows(c) for c in out[1:]]
     g_geom_rows = jnp.stack(rows[:7] + [jnp.zeros((V,), jnp.float32)], axis=1)
     g_color_rows = jnp.stack(rows[7:], axis=1)
+    if spec.plane_mode == "colcap":
+        # plane rows are in coverage order — restore depth order first
+        g_geom_rows = jnp.take(g_geom_rows, inv_cov, axis=0)
+        g_color_rows = jnp.take(g_color_rows, inv_cov, axis=0)
 
     def expand(rows_v):  # (V, C) → original order (N, C)
         if V < n:

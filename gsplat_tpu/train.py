@@ -143,6 +143,8 @@ def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False,
                        n_visible=aux["n_visible"],
                        n_vis_dropped=aux["n_vis_dropped"],
                        n_dropped=aux["n_dropped"],
+                       col_fill=aux["col_fill"],
+                       n_plane_clipped=aux["n_plane_clipped"],
                        grad_mean={k: jnp.mean(jnp.abs(grads[k]))
                                   for k in GROUP_ORDER})
         return TrainState(new_params, st.live, new_opt, accum, counter), metrics
@@ -195,7 +197,9 @@ def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False,
                            n_max_tiles=aux["n_max_tiles"],
                            n_visible=aux["n_visible"],
                            n_vis_dropped=aux["n_vis_dropped"],
-                           n_dropped=aux["n_dropped"])
+                           n_dropped=aux["n_dropped"],
+                           col_fill=aux["col_fill"],
+                           n_plane_clipped=aux["n_plane_clipped"])
             return (TrainState(new_params, st.live, new_opt, accum, counter),
                     metrics)
 
@@ -452,6 +456,8 @@ class Trainer:
                 int(self._last_metrics["n_pairs"]))
             retuned = self.splat.retune_visible_rows(
                 int(self._last_metrics["n_visible"])) or retuned
+            retuned = self.splat.retune_col_caps(
+                self._last_metrics["col_fill"]) or retuned
             # candidate-plane width guard: grow K when the per-gaussian
             # tile cap clips a non-trivial fraction of pairs (quality)
             n_clip = int(self._last_metrics.get("n_clipped", 0))
@@ -604,16 +610,20 @@ class Trainer:
             # see ops/rasterize.rasterize) but costs quality — grow the
             # static budgets immediately rather than waiting for the next
             # densify boundary
-            if int(m.get("n_dropped", 0)) > 0 or int(
-                    m.get("n_vis_dropped", 0)) > 0:
+            if (int(m.get("n_dropped", 0)) > 0
+                    or int(m.get("n_vis_dropped", 0)) > 0
+                    or int(m.get("n_plane_clipped", 0)) > 0):
                 retuned = self.splat.retune_pair_capacity(int(m["n_pairs"]))
                 retuned = self.splat.retune_visible_rows(
                     int(m["n_visible"])) or retuned
+                retuned = self.splat.retune_col_caps(
+                    m.get("col_fill", ())) or retuned
                 if retuned:
                     log(f"iter {j}: budget overflow "
                         f"(n_dropped={int(m['n_dropped'])} "
-                        f"n_vis_dropped={int(m['n_vis_dropped'])}) — "
-                        f"retuned specs, recompiling")
+                        f"n_vis_dropped={int(m['n_vis_dropped'])} "
+                        f"n_plane_clipped={int(m.get('n_plane_clipped', 0))})"
+                        f" — retuned specs, recompiling")
                     self._rebuild_after_capacity_change()
             self.history["l1"].append(float(m["l1"]))
             self.history["psnr"].append(float(m["psnr"]))

@@ -89,7 +89,8 @@ def main(out_dir, n_gt, n_points, n_cams, w, h, focal, capacity_round,
                 f"GT render of {name} overflowed budgets (n_dropped="
                 f"{int(aux['n_dropped'])}, n_vis_dropped="
                 f"{int(aux['n_vis_dropped'])}); raise --pair_capacity")
-        img8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        img8 = (np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
+                * 255).astype(np.uint8)  # chw → hwc for the PNG writer
         cv2.imwrite(os.path.join(img_dir, name),
                     cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
         print("rendered", name, "pairs=", int(aux["n_pairs"]), flush=True)

@@ -158,3 +158,99 @@ def test_fused_all_invisible(rng):
                               use_pallas=True, interpret=True)
     assert int(meta.n_pairs) == 0
     np.testing.assert_array_equal(np.asarray(img), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# column-compacted candidate plane (plane_mode="colcap")
+# ---------------------------------------------------------------------------
+
+def _colcap_spec(bspec, caps=None):
+    k = bspec.max_tiles_per_gaussian
+    return bspec._replace(plane_mode="colcap",
+                          col_caps=tuple(caps) if caps else ())
+
+
+def test_colcap_matches_dense_fwd(rng):
+    """Coverage-prefix column slicing is exactly the dense plane (the
+    composite (tile, depth-rank) key restores the same total order)."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    rspec = rspec._replace(channel_major=True)
+    a, meta_d = pack_sorted(bspec, _geom_n(proj, opa), color,
+                            proj.depth, proj.visible)
+    b, meta_c = pack_sorted(_colcap_spec(bspec), _geom_n(proj, opa), color,
+                            proj.depth, proj.visible)
+    img_a = rasterize(a, meta_d, rspec, use_pallas=True, interpret=True)
+    img_b = rasterize(b, meta_c, rspec, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
+                               atol=1e-6)
+    assert int(meta_d.n_pairs) == int(meta_c.n_pairs)
+    assert int(meta_c.n_plane_clipped) == 0
+    fills = np.asarray(meta_c.col_fill)
+    assert fills[0] >= fills[-1] >= 0 and fills.sum() == int(meta_c.n_pairs)
+
+
+def test_colcap_tight_caps_grads_match_dense(rng):
+    """With caps >= fills, colcap gradients equal dense gradients."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=120)
+    rspec = rspec._replace(channel_major=True)
+    # observe fills, then cap tightly (no margin) — still lossless
+    _, meta = pack_sorted(_colcap_spec(bspec), _geom_n(proj, opa), color,
+                          proj.depth, proj.visible)
+    caps = [max(int(x), 1) for x in np.asarray(meta.col_fill)]
+    spec_c = _colcap_spec(bspec, caps)
+
+    def loss(spec):
+        def f(mean2d, cov2d, opa_, color_):
+            p = proj._replace(mean2d=mean2d, cov2d=cov2d)
+            pk, mt = pack_sorted(spec, _geom_n(p, opa_), color_,
+                                 p.depth, p.visible)
+            img = rasterize(pk, mt, rspec, use_pallas=True, interpret=True)
+            return jnp.sum(img ** 2)
+        return f
+
+    args = (proj.mean2d, proj.cov2d, opa, color)
+    g1 = jax.grad(loss(bspec), argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss(spec_c), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g1, g2, ("mean2d", "cov2d", "opa", "color")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5, err_msg=name)
+
+
+def test_colcap_cap_overflow_fail_safe(rng):
+    """Column caps too small: deepest rows' pairs drop, diagnosed, finite."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    rspec = rspec._replace(channel_major=True)
+    k = bspec.max_tiles_per_gaussian
+    spec_c = _colcap_spec(bspec, [8] * k)   # far below real fills
+    pk, meta = pack_sorted(spec_c, _geom_n(proj, opa), color,
+                           proj.depth, proj.visible)
+    assert int(meta.n_plane_clipped) > 0
+    img = rasterize(pk, meta, rspec, use_pallas=True, interpret=True)
+    assert np.isfinite(np.asarray(img)).all()
+
+    def loss(opa_):
+        pk2, mt = pack_sorted(spec_c, _geom_n(proj, opa_), color,
+                              proj.depth, proj.visible)
+        return jnp.sum(rasterize(pk2, mt, rspec, use_pallas=True,
+                                 interpret=True))
+
+    g = jax.grad(loss)(opa)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_colcap_sh_matches_dense(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=90, color_dim=27)
+    rspec = rspec._replace(channel_major=True)
+    shv = jnp.asarray(np.random.default_rng(5).normal(0, 0.3, (4, 3)),
+                      jnp.float32)
+    a, md = pack_sorted(bspec, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mc = pack_sorted(_colcap_spec(bspec), _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    img_a = rasterize(a, md, rspec, sh_vecs=shv, use_pallas=True,
+                      interpret=True)
+    img_b = rasterize(b, mc, rspec, sh_vecs=shv, use_pallas=True,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
+                               atol=1e-6)
