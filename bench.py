@@ -48,6 +48,11 @@ def main():
                     help="1 = sort-carried channel packing (pack_sorted), "
                          "0 = legacy sort+gather route (A/B lever; which "
                          "wins depends on pair scale)")
+    ap.add_argument("--render_preset", type=int, default=0,
+                    help="also bench the bf16-packed render preset "
+                         "(render-only: bf16 channel pairs as i32 sort "
+                         "payloads); reports its FPS and its PSNR vs the "
+                         "f32 render")
     args = ap.parse_args()
     use_sh = bool(args.use_sh_coeff)
 
@@ -80,6 +85,8 @@ def main():
     from gsplat_tpu.ops.projection import project_gaussians
     from gsplat_tpu.ops.binning import _tile_bbox
 
+    kmax = bspec.max_tiles_per_gaussian
+
     @jax.jit
     def observe(params, live):
         proj = project_gaussians(
@@ -89,30 +96,38 @@ def main():
             cfg.scale_activation)
         vis = proj.visible & live
         _, _, rw, rh = _tile_bbox(bspec, proj.mean2d, proj.cov2d, vis)
-        cov = jnp.minimum(rw * rh, bspec.max_tiles_per_gaussian)
-        return jnp.sum(vis), jnp.sum(cov)
+        cov = jnp.minimum(rw * rh, kmax)
+        fills = jnp.stack([jnp.sum(cov > k) for k in range(kmax)])
+        return jnp.sum(vis), jnp.sum(cov), fills
 
-    n_vis, n_pairs = jax.device_get(observe(table.params(), table.live))
-    # same formulas as Splatter.retune_visible_rows / retune_pair_capacity
+    n_vis, n_pairs, fills = jax.device_get(observe(table.params(),
+                                                   table.live))
+    # same formulas as the Splatter.retune_* controllers
     cfg.visible_rows = min(
         max((int(n_vis) * 135 // 100 // 4096 + 1) * 4096, 8192),
         table.capacity)
     cfg.pair_capacity = max(int(n_pairs) * 8 // 5, 4096)
+    if cfg.plane_mode == "colcap":
+        cfg.col_caps = tuple(
+            min(max((int(f) * 5 // 4 // 4096 + 1) * 4096, 4096),
+                cfg.visible_rows) for f in fills)
     bspec, rspec = make_specs(grid, table.capacity, cfg,
                               27 if use_sh else 3)
     print(f"# tuned: n_visible={int(n_vis)} n_pairs={int(n_pairs)} "
-          f"visible_rows={cfg.visible_rows} slot_cap={bspec.slot_capacity}",
-          flush=True)
+          f"visible_rows={cfg.visible_rows} slot_cap={bspec.slot_capacity} "
+          f"col_caps={list(bspec.col_caps)}", flush=True)
 
     # ---------------- render FPS (scan over frames, one dispatch) -------
-    def frames_fn(k):
+    def frames_fn(k, cfg_=None, bspec_=None, rspec_=None):
+        cfg_, bspec_, rspec_ = cfg_ or cfg, bspec_ or bspec, rspec_ or rspec
+
         @jax.jit
         def run(params, live, salt):
             def body(acc, c):
                 img, _ = render_padded(
                     params, live, cams["w2c_rot"][c] + salt * 0.0,
                     cams["w2c_tran"][c], cams["sh_vecs"][c],
-                    grid, cfg, bspec, rspec, interpret=interpret)
+                    grid, cfg_, bspec_, rspec_, interpret=interpret)
                 return acc + img[0, 0, 0], None
             cs = (jnp.arange(k, dtype=jnp.int32) % m_cams)
             acc, _ = jax.lax.scan(body, salt, cs)
@@ -160,6 +175,35 @@ def main():
         return min(ts)
 
     fps = (k_big - k_small) / max(tmin(f_big) - tmin(f_small), 1e-9)
+
+    preset_extras = {}
+    if args.render_preset:
+        import dataclasses as _dc
+        cfg_p = _dc.replace(cfg, packed_bf16=True)
+        bspec_p, rspec_p = make_specs(grid, table.capacity, cfg_p,
+                                      27 if use_sh else 3)
+        pf_small = frames_fn(k_small, cfg_p, bspec_p, rspec_p)
+        pf_big = frames_fn(k_big, cfg_p, bspec_p, rspec_p)
+        float(pf_small(params, live, jnp.float32(0)))
+        float(pf_big(params, live, jnp.float32(0)))
+        fps_p = (k_big - k_small) / max(tmin(pf_big) - tmin(pf_small), 1e-9)
+
+        @jax.jit
+        def quality(params, live):
+            a, _ = render_padded(params, live, cams["w2c_rot"][0],
+                                 cams["w2c_tran"][0], cams["sh_vecs"][0],
+                                 grid, cfg, bspec, rspec,
+                                 interpret=interpret)
+            b, _ = render_padded(params, live, cams["w2c_rot"][0],
+                                 cams["w2c_tran"][0], cams["sh_vecs"][0],
+                                 grid, cfg_p, bspec_p, rspec_p,
+                                 interpret=interpret)
+            return psnr_fn(jnp.clip(b, 0, 1), jnp.clip(a, 0, 1),
+                           data_range=1.0)
+        preset_extras = {
+            "render_fps_bf16_preset": round(fps_p, 2),
+            "preset_vs_f32_psnr": round(float(quality(params, live)), 2),
+        }
 
     # ---------------- train it/s (scan over steps, one dispatch) --------
     loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, interpret)
@@ -238,6 +282,7 @@ def main():
         "resolution": f"{w}x{h}",
         "color": "sh27" if use_sh else "rgb",
         **extras,
+        **preset_extras,
     }))
 
 

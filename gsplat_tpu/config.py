@@ -82,6 +82,11 @@ class SplatConfig:
     # static per-column row caps for colcap (None = start at visible_rows
     # per column and let the trainer retune from observed column fills)
     col_caps: Optional[tuple] = None
+    # RENDER-ONLY preset: bf16 channel pairs bitcast into i32 sort payloads
+    # (halves payload-sort operands) with tile-relative positions; no
+    # backward — the trainer must keep this False (viewer/bench FPS paths
+    # flip it on a render-only config copy)
+    packed_bf16: bool = False
 
     @property
     def tile_px(self) -> int:

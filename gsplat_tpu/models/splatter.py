@@ -176,7 +176,13 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         plane_mode=getattr(cfg, "plane_mode", "dense"),
         col_caps=_norm_col_caps(getattr(cfg, "col_caps", None),
                                 cfg.max_tiles_per_gaussian),
+        packed_bf16=bool(getattr(cfg, "packed_bf16", False)),
     )
+    if bspec.packed_bf16 and (bspec.plane_mode != "colcap"
+                              or not getattr(cfg, "fused_pack", True)):
+        raise ValueError("packed_bf16 requires fused_pack + plane_mode="
+                         "'colcap' (the packed payloads are built by "
+                         "pack_sorted's column-compacted plane)")
     rspec = RasterSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_h=grid.tile_h, tile_w=grid.tile_w,
@@ -184,6 +190,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         chunk_size=cfg.chunk_size, color_dim=color_dim,
         weight_normalize=cfg.render_weight_normalize,
         channel_major=bool(getattr(cfg, "fused_pack", True)),
+        packed_bf16=bspec.packed_bf16,
     )
     return bspec, rspec
 

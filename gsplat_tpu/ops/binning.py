@@ -89,6 +89,13 @@ class BinningSpec(NamedTuple):
     # retuned by the trainer from the observed column fills `col_fill`);
     # () = every column capped at V (equivalent to dense-size worst case)
     col_caps: tuple = ()
+    # RENDER-ONLY preset: carry channel values as bf16 pairs bitcast into
+    # i32 sort payloads — halves the payload-sort operand count (sort cost
+    # is per-operand on TPU, PERF.md).  Positions are stored relative to
+    # each pair's tile centre so the bf16 mantissa (8 bits) keeps sub-pixel
+    # accuracy (~0.2 px at 16-px tiles); the kernels re-add the centre in
+    # f32.  The backward pass is NOT supported (training keeps f32).
+    packed_bf16: bool = False
 
     @property
     def n_tiles(self) -> int:
@@ -485,6 +492,37 @@ def _rank_bits_shift(n_tiles: int, v: int):
     return rb, shift
 
 
+def _pack2_bf16(a, b):
+    """Two f32 arrays → one i32 with (bf16(a) << 16) | bf16(b).
+
+    Arithmetic bit packing — a minor-axis ``stack`` interleave at pair
+    scale costs tens of ms on TPU (strided), while these are fused
+    elementwise ops.
+    """
+    ai = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.int16).astype(jnp.int32)
+    bi = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.int16).astype(jnp.int32)
+    return jnp.left_shift(ai, 16) | (bi & jnp.int32(0xFFFF))
+
+
+def unpack2_bf16(packed):
+    """(R, ...) i32 → (2R, ...) f32: [hi channels..., lo channels...].
+
+    Inverse of the row-halves packing (row j holds channel j in the high
+    16 bits and channel R+j in the low 16), so the unpacked concat is in
+    channel order with no interleave.
+    """
+    hi = jax.lax.shift_right_arithmetic(packed, 16)
+    lo = packed & jnp.int32(0xFFFF)
+
+    def tofp(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.int16), jnp.bfloat16).astype(jnp.float32)
+
+    return jnp.concatenate([tofp(hi), tofp(lo)], axis=0)
+
+
 def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                              visible):
     """Column-compacted forward: plane columns sliced to coverage prefixes.
@@ -544,10 +582,16 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     rank = cov_order                                       # depth rank
 
     # ---- per-column candidate slices ------------------------------------
+    c_pad = -c_cols % 8
+    c8 = c_cols + c_pad
+    if spec.packed_bf16:
+        # payload rows: geom (x|c, y|d, a|opa, b|0) + colors (j | j+c8/2);
+        # positions go tile-relative so bf16 keeps sub-pixel accuracy
+        n_geo_rows, n_col_rows = 4, c8 // 2
+    else:
+        n_geo_rows, n_col_rows = 7, c_cols
     key_parts, flat_parts = [], []
-    chan_cols = [geom_s[:, j] for j in range(7)] \
-        + [color_s[:, j] for j in range(c_cols)]
-    chan_parts = [[] for _ in chan_cols]
+    chan_parts = [[] for _ in range(n_geo_rows + n_col_rows)]
     off = 0
     n_plane_clipped = jnp.zeros((), jnp.int32)
     kk = jnp.int32
@@ -570,8 +614,26 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
             jnp.left_shift(tile_k, rb) | (rank[:cpk] >> shift), sent)
         key_parts.append(key_k)
         flat_parts.append(off + jax.lax.iota(jnp.int32, cpk))
-        for ci, col in enumerate(chan_cols):
-            chan_parts[ci].append(col[:cpk])
+        if spec.packed_bf16:
+            tcx = spec.leftmost + ((x0[:cpk] + kx).astype(jnp.float32)
+                                   + 0.5) * spec.tile_len_x
+            tcy = spec.topmost + ((y0[:cpk] + ky).astype(jnp.float32)
+                                  + 0.5) * spec.tile_len_y
+            gs = geom_s[:cpk]
+            zero = jnp.zeros((cpk,), jnp.float32)
+            hi = [gs[:, 0] - tcx, gs[:, 1] - tcy, gs[:, 2], gs[:, 3]]
+            lo = [gs[:, 4], gs[:, 5], gs[:, 6], zero]
+            rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
+            cs = color_s[:cpk]
+            half = c8 // 2
+            ccol = [cs[:, j] if j < c_cols else zero for j in range(c8)]
+            rows += [_pack2_bf16(ccol[j], ccol[half + j])
+                     for j in range(half)]
+        else:
+            rows = [geom_s[:cpk, j] for j in range(7)] \
+                + [color_s[:cpk, j] for j in range(c_cols)]
+        for ci, col in enumerate(rows):
+            chan_parts[ci].append(col)
         n_plane_clipped += jnp.maximum(m[k] - cpk, 0)
         off += cpk
     pair_key = jnp.concatenate(key_parts)
@@ -613,7 +675,8 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                          sent).reshape(T * padw)
 
     # ---- the payload sort: channels ride the sort -----------------------
-    zpad = jnp.zeros((T * padw,), jnp.float32)
+    chan_dtype = jnp.int32 if spec.packed_bf16 else jnp.float32
+    zpad = jnp.zeros((T * padw,), chan_dtype)
     key_full = jnp.concatenate([pair_key, pad_keys])
     flat_full = jnp.concatenate(
         [jnp.concatenate(flat_parts),
@@ -629,11 +692,17 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                 [a, jnp.full((L - p_tot,), fill, a.dtype)])
         return a[:S]
 
-    zcol = jnp.zeros((S,), jnp.float32)
-    geom_pk = jnp.stack([fit(out[2 + j]) for j in range(7)] + [zcol], axis=0)
-    c_pad = -c_cols % 8
-    colors_pk = jnp.stack(
-        [fit(out[9 + j]) for j in range(c_cols)] + [zcol] * c_pad, axis=0)
+    zcol = jnp.zeros((S,), chan_dtype)
+    if spec.packed_bf16:
+        geom_pk = jnp.stack([fit(out[2 + j]) for j in range(4)], axis=0)
+        colors_pk = jnp.stack(
+            [fit(out[6 + j]) for j in range(c8 // 2)], axis=0)
+    else:
+        geom_pk = jnp.stack(
+            [fit(out[2 + j]) for j in range(7)] + [zcol], axis=0)
+        colors_pk = jnp.stack(
+            [fit(out[9 + j]) for j in range(c_cols)] + [zcol] * c_pad,
+            axis=0)
 
     if p_tot < L:
         sorted_flat = jnp.concatenate(
@@ -682,6 +751,11 @@ def _pack_sorted_fwd(spec, geom_n, color_n, depth, visible):
 
 
 def _pack_sorted_bwd(spec, residuals, cts):
+    if spec.packed_bf16:
+        raise NotImplementedError(
+            "packed_bf16 is a render-only preset (bf16 channel payloads); "
+            "train with packed_bf16=False — the f32 path is the "
+            "differentiable one")
     (sorted_flat, inv_order, inv_cov), n, c_cols, depth, visible = residuals
     (g_geom, g_color), _g_meta = cts
     K, G = spec.max_tiles_per_gaussian, spec.chunk_size

@@ -64,6 +64,11 @@ class RasterSpec(NamedTuple):
     # path — axis-0 stacking of the sort outputs is ~47 ms cheaper at
     # Garden scale; the kernels transpose the (8, G) block in VMEM)
     channel_major: bool = False
+    # RENDER-ONLY: buffers are (4, S)/(c8/2, S) i32 with two bf16 channels
+    # per element (ops/binning pack_sorted packed_bf16 preset); positions
+    # are tile-relative and the kernel composites against tile-relative
+    # pixel coordinates.  No backward.
+    packed_bf16: bool = False
 
     @property
     def px(self) -> int:
@@ -104,10 +109,24 @@ def _tile_pixel_ids(spec: RasterSpec, tile):
 
 
 def _tile_pixel_coords(spec: RasterSpec, tile):
-    """Focal-normalized pixel centres (gaussian.cu:839-840) → (1, Px) f32."""
+    """Focal-normalized pixel centres (gaussian.cu:839-840) → (1, Px) f32.
+
+    In packed_bf16 mode the coordinates are TILE-RELATIVE (the packed
+    gaussian positions are stored relative to their tile centre, so the
+    compositing differences dx, dy come out identical while both operands
+    stay small enough for bf16)."""
     id_x, id_y = _tile_pixel_ids(spec, tile)
     pxc = (id_x.astype(jnp.float32) + 0.5 - spec.padded_w / 2) / spec.focal_x
     pyc = (id_y.astype(jnp.float32) + 0.5 - spec.padded_h / 2) / spec.focal_y
+    if spec.packed_bf16:
+        tx = tile % spec.n_tile_x
+        ty = tile // spec.n_tile_x
+        tcx = ((tx * spec.tile_w + spec.tile_w / 2 - spec.padded_w / 2)
+               / spec.focal_x)
+        tcy = ((ty * spec.tile_h + spec.tile_h / 2 - spec.padded_h / 2)
+               / spec.focal_y)
+        pxc = pxc - tcx.astype(jnp.float32)
+        pyc = pyc - tcy.astype(jnp.float32)
     return pxc, pyc
 
 
@@ -239,7 +258,12 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, chunk_len,
     """
     nc = chunk_tile.shape[0]
     geom, colarr = packed
-    if spec.channel_major:
+    if spec.packed_bf16:
+        from gsplat_tpu.ops.binning import unpack2_bf16
+
+        geom = unpack2_bf16(geom).T
+        colarr = unpack2_bf16(colarr).T[:, :spec.c_col]
+    elif spec.channel_major:
         geom, colarr = geom.T, colarr.T
     g_all = geom.reshape(nc, spec.chunk_size, 8)
     c_all = colarr.reshape(nc, spec.chunk_size, spec.c_col)
@@ -336,8 +360,14 @@ def _fwd_kernel(spec: RasterSpec,
     @pl.when(active & (jnp.max(accum_ref[:]) >= STOP_THRESH))
     def _():
         pxc, pyc = _tile_pixel_coords(spec, t)
-        g = geom_ref[:].T if spec.channel_major else geom_ref[:]
-        gc = col_ref[:].T if spec.channel_major else col_ref[:]
+        if spec.packed_bf16:
+            from gsplat_tpu.ops.binning import unpack2_bf16
+
+            g = unpack2_bf16(geom_ref[:]).T
+            gc = unpack2_bf16(col_ref[:]).T[:, :spec.c_col]
+        else:
+            g = geom_ref[:].T if spec.channel_major else geom_ref[:]
+            gc = col_ref[:].T if spec.channel_major else col_ref[:]
         alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
         gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
         alpha = jnp.where(gidx < clen_ref[i], alpha, 0.0)
@@ -495,7 +525,14 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
     geom, colarr = packed
     nc = chunk_tile.shape[0]
     n_rows = spec.n_tiles + 1
-    if spec.channel_major:
+    if spec.packed_bf16:
+        in_specs = [
+            pl.BlockSpec((geom.shape[0], spec.chunk_size),
+                         lambda i, *_: (0, i)),
+            pl.BlockSpec((colarr.shape[0], spec.chunk_size),
+                         lambda i, *_: (0, i)),
+        ]
+    elif spec.channel_major:
         in_specs = [
             pl.BlockSpec((8, spec.chunk_size), lambda i, *_: (0, i)),
             pl.BlockSpec((spec.c_col, spec.chunk_size),
@@ -598,6 +635,10 @@ def _raster_pallas_fwd(spec, interpret, packed, sh_vecs, chunk_tile,
 
 
 def _raster_pallas_bwd(spec, interpret, res, grads):
+    if spec.packed_bf16:
+        raise NotImplementedError(
+            "packed_bf16 is a render-only preset; train with "
+            "packed_bf16=False (f32 buffers)")
     packed, sh_vecs, chunk_tile, chunk_first, chunk_last, chunk_len, \
         out_tiles = res
     g_tiles, g_accw = grads

@@ -43,18 +43,22 @@ def camera_to_w2c(wxyz: np.ndarray, position: np.ndarray) -> np.ndarray:
 def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
                      focal_x: float, focal_y: float, interpret=False,
                      near: float | None = None, far: float | None = None,
-                     sh_order: int | None = None):
+                     sh_order: int | None = None, fast: bool = False):
     """Render an arbitrary camera (the GUI path, splatter.py:467-487).
 
     near/far clip planes and the SH evaluation order are honoured when
     given (the reference exposes these as GUI sliders but never forwards
-    them into its renderer).
+    them into its renderer).  ``fast=True`` renders with the bf16-packed
+    payload preset (~sub-pixel/0.4% channel quantization, measured >40 dB
+    vs the f32 render) — the GUI's interactive mode.
     """
     import jax.numpy as jnp
 
     cfg = splat.cfg
     if near is not None:
         cfg = dataclasses.replace(cfg, near=float(near))
+    if fast and cfg.fused_pack and cfg.plane_mode == "colcap":
+        cfg = dataclasses.replace(cfg, packed_bf16=True)
     grid = TileGrid(width=int(width), height=int(height),
                     focal_x=focal_x, focal_y=focal_y,
                     tile_h=cfg.tile_h, tile_w=cfg.tile_w)
@@ -128,12 +132,14 @@ def run_viewer(splat, port: int = 6789, trainer=None, server=None,
                                 initial_value=1000.0)
     show_train_cam = server.add_gui_checkbox("Show Train Camera",
                                              initial_value=False)
+    fast_mode = server.add_gui_checkbox(
+        "Fast Mode (bf16)", initial_value=True)
     fps_text = server.add_gui_text("FPS", initial_value="-1", disabled=True)
 
     state = {"update": True, "paused": False, "iter": 0, "frustums": []}
     render_times = deque(maxlen=3)
 
-    for ctl in (resolution, near, far, sh_order):
+    for ctl in (resolution, near, far, sh_order, fast_mode):
         @ctl.on_update
         def _(_):
             state["update"] = True
@@ -211,7 +217,8 @@ def run_viewer(splat, port: int = 6789, trainer=None, server=None,
                 img = render_offscreen(
                     splat, w2c, W, H, focal_x, focal_y,
                     near=float(near.value), far=float(far.value),
-                    sh_order=int(sh_order.value))
+                    sh_order=int(sh_order.value),
+                    fast=bool(fast_mode.value))
             except Exception as e:  # parity: visergui.py:155-158
                 print(e)
                 continue

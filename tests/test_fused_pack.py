@@ -8,6 +8,7 @@ columns, empty tiles, and chunk-budget truncation.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -254,3 +255,63 @@ def test_colcap_sh_matches_dense(rng):
                       interpret=True)
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
                                atol=1e-6)
+
+
+def test_packed_bf16_render_close_to_f32(rng):
+    """The bf16-packed render preset: small image error vs the f32 path.
+
+    Positions are tile-relative so bf16 keeps ~0.2 px accuracy; colors and
+    covariances carry ~0.4% relative error.  The preset is render-only
+    (backward raises)."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=200)
+    rspec = rspec._replace(channel_major=True)
+    spec_f = _colcap_spec(bspec)
+    spec_p = spec_f._replace(packed_bf16=True)
+    rspec_p = rspec._replace(packed_bf16=True)
+    a, ma = pack_sorted(spec_f, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mb = pack_sorted(spec_p, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    assert b[0].dtype == jnp.int32 and b[0].shape[0] == 4
+    img_f = rasterize(a, ma, rspec, use_pallas=True, interpret=True)
+    img_p = rasterize(b, mb, rspec_p, use_pallas=True, interpret=True)
+    f, p = np.asarray(img_f), np.asarray(img_p)
+    mse = float(((f - p) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 40, psnr     # visually indistinguishable
+    # jnp compositor agrees with the pallas path on packed buffers too
+    img_j = rasterize(b, mb, rspec_p, use_pallas=False)
+    np.testing.assert_allclose(p, np.asarray(img_j), atol=1e-5)
+
+    # backward is explicitly unsupported
+    def loss(opa_):
+        pk, mt = pack_sorted(spec_p, _geom_n(proj, opa_), color,
+                             proj.depth, proj.visible)
+        return jnp.sum(rasterize(pk, mt, rspec_p, use_pallas=True,
+                                 interpret=True))
+
+    with pytest.raises(NotImplementedError):
+        jax.grad(loss)(opa)
+
+
+def test_packed_bf16_sh_render(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=80, color_dim=27)
+    rspec = rspec._replace(channel_major=True)
+    shv = jnp.asarray(np.random.default_rng(9).normal(0, 0.3, (4, 3)),
+                      jnp.float32)
+    spec_p = _colcap_spec(bspec)._replace(packed_bf16=True)
+    rspec_p = rspec._replace(packed_bf16=True)
+    a, ma = pack_sorted(_colcap_spec(bspec), _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mb = pack_sorted(spec_p, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    assert b[1].shape[0] == 16      # 27→32 padded SH channels → 16 rows
+    img_f = rasterize(a, ma, rspec, sh_vecs=shv, use_pallas=True,
+                      interpret=True)
+    img_p = rasterize(b, mb, rspec_p, sh_vecs=shv, use_pallas=True,
+                      interpret=True)
+    f, p = np.asarray(img_f), np.asarray(img_p)
+    mse = float(((f - p) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 38, psnr
