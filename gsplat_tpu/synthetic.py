@@ -20,14 +20,32 @@ from gsplat_tpu.utils.so3 import inverse_sigmoid, quat_to_rotmat_np
 def synthetic_table(n: int, capacity_round: int = 65536, use_sh=False,
                     seed: int = 0, depth_range=(2.0, 8.0),
                     frustum=(0.65, 0.45), scale_px=2.5, focal=1000.0,
-                    opa=0.5, headroom: float = 1.15) -> GaussianTable:
+                    opa=0.5, headroom: float = 1.15,
+                    ball=None) -> GaussianTable:
+    """Random gaussian table.
+
+    Default layout fills the frustum of a camera at the origin looking +z.
+    ``ball=(cx, cy, cz, r, view_dist)`` instead fills a sphere — the
+    layout for orbit-camera scenes where cameras circle the cloud
+    (well-conditioned multi-view geometry, like a real capture);
+    ``view_dist`` sets the on-screen splat size.
+    """
     rng = np.random.default_rng(seed)
-    z = rng.uniform(*depth_range, n)
-    x = rng.uniform(-frustum[0], frustum[0], n) * z
-    y = rng.uniform(-frustum[1], frustum[1], n) * z
-    pos = np.stack([x, y, z], 1).astype(np.float32)
+    if ball is not None:
+        cx, cy, cz, r, view_dist = ball
+        u = rng.normal(size=(n, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True) + 1e-9
+        rad = r * rng.uniform(0.0, 1.0, n) ** (1 / 3)
+        pos = (np.array([cx, cy, cz]) + u * rad[:, None]).astype(np.float32)
+        dist = np.full((n,), view_dist, np.float32)
+    else:
+        z = rng.uniform(*depth_range, n)
+        x = rng.uniform(-frustum[0], frustum[0], n) * z
+        y = rng.uniform(-frustum[1], frustum[1], n) * z
+        pos = np.stack([x, y, z], 1).astype(np.float32)
+        dist = z
     # world-space scale giving ~scale_px pixels on screen at given focal
-    scale = (rng.uniform(0.5, 1.5, (n, 3)) * scale_px * z[:, None]
+    scale = (rng.uniform(0.5, 1.5, (n, 3)) * scale_px * dist[:, None]
              / focal).astype(np.float32)
     quat = rng.normal(size=(n, 4)).astype(np.float32)
     rgb01 = rng.uniform(0.05, 0.95, (n, 3))

@@ -38,33 +38,72 @@ PRESETS = {
                 scale_px=3.0, opa=0.7),
     "garden": dict(n_gt=400_000, n_points=140_000, n_cams=56, w=1297, h=840,
                    focal=1000.0, capacity_round=65536, pair_capacity=4_194_304,
-                   scale_px=2.5, opa=0.6),
+                   scale_px=2.5, opa=0.6, orbit=True),
 }
 
 
+def _rotmat_to_quat(r):
+    from gsplat_tpu.viewer import _rotmat_to_quat as f
+    return f(r)
+
+
+def _orbit_poses(n_cams, center, radius, rng):
+    """Cameras circling ``center`` looking inward (COLMAP x-right y-down
+    z-forward) — real-capture-like multi-view geometry.  A camera ring
+    with near-zero baseline (the old layout) is geometrically ill-posed:
+    position errors along the view axis are unobservable and training
+    oscillates instead of converging."""
+    poses = []
+    c = np.asarray(center, np.float64)
+    for i in range(n_cams):
+        az = 2 * np.pi * i / n_cams
+        elev = 0.25 * np.sin(3 * az) + 0.1
+        rad = radius * (1.0 + 0.08 * np.sin(5 * az))
+        p = c + rad * np.array([np.sin(az) * np.cos(elev),
+                                -np.sin(elev),
+                                -np.cos(az) * np.cos(elev)])
+        fwd = c - p
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])       # COLMAP y is down
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        rot = np.stack([right, down, fwd])    # w2c rows
+        tvec = -rot @ p
+        q = _rotmat_to_quat(rot)
+        poses.append((q, tvec, f"img_{i:03d}.png"))
+    return poses
+
+
 def main(out_dir, n_gt, n_points, n_cams, w, h, focal, capacity_round,
-         pair_capacity, scale_px, opa, downsample=4, seed=0):
+         pair_capacity, scale_px, opa, downsample=4, seed=0, orbit=False):
     rng = np.random.default_rng(seed)
     interpret = jax.default_backend() != "tpu"
-    table = synthetic_table(n_gt, capacity_round=capacity_round, focal=focal,
-                            scale_px=scale_px, opa=opa, seed=seed,
-                            frustum=(0.85, 0.55))
+    if orbit:
+        center, radius, ball_r = (0.0, 0.0, 0.0), 5.0, 2.2
+        table = synthetic_table(
+            n_gt, capacity_round=capacity_round, focal=focal,
+            scale_px=scale_px, opa=opa, seed=seed,
+            ball=center + (ball_r, radius))
+        poses = _orbit_poses(n_cams, center, radius, rng)
+    else:
+        table = synthetic_table(n_gt, capacity_round=capacity_round,
+                                focal=focal, scale_px=scale_px, opa=opa,
+                                seed=seed, frustum=(0.85, 0.55))
+        poses = []
+        for i in range(n_cams):
+            ang = 0.12 * np.sin(2 * np.pi * i / n_cams)
+            tilt = 0.06 * np.cos(2 * np.pi * i / n_cams)
+            q = np.array([np.cos(ang / 2) * np.cos(tilt / 2),
+                          np.sin(tilt / 2), np.sin(ang / 2), 0.0])
+            q /= np.linalg.norm(q)
+            t = np.array([0.15 * np.sin(2 * np.pi * i / n_cams),
+                          0.08 * np.cos(2 * np.pi * i / n_cams), 0.0])
+            poses.append((q, t, f"img_{i:03d}.png"))
     cfg = SplatConfig(capacity_round=capacity_round,
                       pair_capacity=pair_capacity)
     grid = TileGrid(width=w, height=h, focal_x=focal, focal_y=focal)
     bspec, rspec = make_specs(grid, table.capacity, cfg, 3)
-
-    # ring of cameras with small rotations/translations
-    poses = []
-    for i in range(n_cams):
-        ang = 0.12 * np.sin(2 * np.pi * i / n_cams)
-        tilt = 0.06 * np.cos(2 * np.pi * i / n_cams)
-        q = np.array([np.cos(ang / 2) * np.cos(tilt / 2),
-                      np.sin(tilt / 2), np.sin(ang / 2), 0.0])
-        q /= np.linalg.norm(q)
-        t = np.array([0.15 * np.sin(2 * np.pi * i / n_cams),
-                      0.08 * np.cos(2 * np.pi * i / n_cams), 0.0])
-        poses.append((q, t, f"img_{i:03d}.png"))
 
     sparse = os.path.join(out_dir, "sparse", "0")
     os.makedirs(sparse, exist_ok=True)
