@@ -204,8 +204,17 @@ def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False,
                     metrics)
 
         st, ms = jax.lax.scan(body, st, (cam_idxs, lrs_arr, clear_flags))
-        # surface the last step's metrics (cheap to fetch)
-        return st, jax.tree.map(lambda x: x[-1], ms)
+        # surface the last step's values for losses, but the WINDOW MAX for
+        # budget/overflow counters — an overflow in any step of the window
+        # must reach the retune logic, not just one that lands on the last
+        # step
+        maxed = {"n_pairs", "n_clipped", "n_max_tiles", "n_visible",
+                 "n_vis_dropped", "n_dropped", "n_plane_clipped",
+                 "col_fill"}
+        out = {k: (jnp.max(v, axis=0) if k in maxed else
+                   jax.tree.map(lambda x: x[-1], v))
+               for k, v in ms.items()}
+        return st, out
 
     return train_window
 
