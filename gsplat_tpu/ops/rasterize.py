@@ -341,7 +341,7 @@ def chw_to_hwc(img):
 def _fwd_kernel(spec: RasterSpec,
                 ct_ref, cf_ref, cl_ref, clen_ref, shv_ref,
                 geom_ref, col_ref, out_ref,
-                accum_ref, color_ref, accw_ref):
+                accum_ref, color_ref, accw_ref, shb_ref):
     i = pl.program_id(0)
     t = ct_ref[i]
     first = cf_ref[i] != 0
@@ -353,6 +353,10 @@ def _fwd_kernel(spec: RasterSpec,
         accum_ref[:] = jnp.ones_like(accum_ref)
         color_ref[:] = jnp.zeros_like(color_ref)
         accw_ref[:] = jnp.zeros_like(accw_ref)
+        if spec.color_dim != 3:
+            # per-tile SH pixel basis computed ONCE per tile (chunks of the
+            # same tile reuse the scratch; ~15 plane-ops per chunk saved)
+            shb_ref[:] = _sh_pixel_basis(spec, t, shv_ref)
 
     # chunk-level early termination: when every pixel of the tile is below
     # the stop threshold, later chunks contribute nothing (the CUDA
@@ -375,8 +379,7 @@ def _fwd_kernel(spec: RasterSpec,
         trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
         live = trans >= STOP_THRESH
         w = jnp.where(live, alpha * trans, 0.0)
-        shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 \
-            else None
+        shb = shb_ref[:] if spec.color_dim != 3 else None
         cols = _chunk_colors(spec, gc, shb)
         for ch in range(3):
             color_ref[ch:ch + 1, :] += jnp.sum(w * cols[ch], axis=0,
@@ -400,7 +403,7 @@ def _bwd_kernel(spec: RasterSpec,
                 ct_ref, cf_ref, cl_ref, clen_ref, shv_ref,
                 geom_ref, col_ref, out_img_ref, grad_img_ref,
                 grad_geom_ref, grad_col_ref,
-                accum_ref, ccarry_ref):
+                accum_ref, ccarry_ref, shb_ref):
     i = pl.program_id(0)
     t = ct_ref[i]
     first = cf_ref[i] != 0
@@ -411,6 +414,8 @@ def _bwd_kernel(spec: RasterSpec,
     def _():
         accum_ref[:] = jnp.ones_like(accum_ref)
         ccarry_ref[:] = jnp.zeros_like(ccarry_ref)
+        if spec.color_dim != 3:
+            shb_ref[:] = _sh_pixel_basis(spec, t, shv_ref)
 
     do_compute = active & (jnp.max(accum_ref[:]) >= STOP_THRESH)
 
@@ -433,8 +438,7 @@ def _bwd_kernel(spec: RasterSpec,
         trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
         live = trans >= STOP_THRESH
         w = jnp.where(live, alpha * trans, 0.0)
-        shb = _sh_pixel_basis(spec, t, shv_ref) if spec.color_dim != 3 \
-            else None
+        shb = shb_ref[:] if spec.color_dim != 3 else None
         cols = _chunk_colors(spec, gc_in, shb)
 
         # suffix-color identity for d_alpha (gaussian.cu:709-722):
@@ -555,6 +559,7 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
             pltpu.VMEM((1, spec.px), jnp.float32),   # accum
             pltpu.VMEM((8, spec.px), jnp.float32),   # color rows
             pltpu.VMEM((1, spec.px), jnp.float32),   # accumulated weight
+            pltpu.VMEM((9, spec.px), jnp.float32),   # per-tile SH basis
         ],
     )
     out_shape = [
@@ -599,6 +604,7 @@ def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
         scratch_shapes=[
             pltpu.VMEM((1, spec.px), jnp.float32),   # accum carry
             pltpu.VMEM((8, spec.px), jnp.float32),   # color carry (incl.)
+            pltpu.VMEM((9, spec.px), jnp.float32),   # per-tile SH basis
         ],
     )
     grad_geom, grad_col = pl.pallas_call(
