@@ -310,24 +310,43 @@ class Splatter:
                 grid, self.table.capacity, self.cfg, self.color_dim)
         return self._specs_cache[key]
 
-    def retune_pair_capacity(self, n_pairs: int) -> bool:
+    @staticmethod
+    def _ladder(need: float, base: int = 4096, r: float = 1.7) -> int:
+        """Round a budget UP to a geometric ladder rung (multiple of 4096).
+
+        Budgets only ever take ladder values, so monotone growth crosses a
+        recompile boundary every ~+70% instead of at every densify — on
+        remote-attached TPUs a recompile costs minutes, while the padded
+        compute a coarse budget carries costs ~10-20% of a step.
+        """
+        import math
+
+        if need <= base:
+            return base
+        k = math.ceil(math.log(need / base, r) - 1e-9)
+        return ((int(base * r ** k) + 4095) // 4096) * 4096
+
+    def retune_pair_capacity(self, n_pairs: int, growth: float = 1.0
+                             ) -> bool:
         """Resize the aligned-slot budget toward observed pair counts.
 
-        Dead pair slots cost rasterizer grid steps, so the trainer feeds the
-        observed pair count back here at densification boundaries.  Returns
-        True when specs changed (recompile boundary).
+        ``growth`` is the live-count growth factor of the current densify
+        step; budgets provision for ~two more densifies of the same rate
+        (growth²) so steady growth does not retrigger a recompile every
+        boundary.  Returns True when specs changed (recompile boundary).
         """
         bspec, _ = self.specs()
         g = self.cfg.chunk_size
         floor = bspec.n_tiles * g
         extra = bspec.slot_capacity - floor
-        target = max(int(n_pairs * 1.6), 4096)
-        if extra < n_pairs * 1.2 or extra > n_pairs * 3.0:
+        gsq = max(growth, 1.0) ** 2
+        target = self._ladder(n_pairs * 1.35 * gsq)
+        if extra < n_pairs * 1.15 or extra > target * 2.9:
             self.cfg.pair_capacity = target
             return True
         return False
 
-    def retune_col_caps(self, col_fill) -> bool:
+    def retune_col_caps(self, col_fill, growth: float = 1.0) -> bool:
         """Resize the colcap per-column row caps toward observed fills.
 
         ``col_fill`` is the (K,) vector of real column fills m_k from the
@@ -344,11 +363,12 @@ class Splatter:
         v = int(self.cfg.visible_rows or self.table.capacity)
         cur = list(self.cfg.col_caps or (v,) * k)
         cur += [cur[-1] if cur else v] * (k - len(cur))
+        gsq = max(growth, 1.0) ** 2
         new = []
         changed = False
         for f, c_ in zip(fills, cur[:k]):
-            target = min(max((f * 5 // 4 // 4096 + 1) * 4096, 4096), v)
-            if c_ < f * 11 // 10 or c_ > target * 2:
+            target = min(self._ladder(f * 1.2 * gsq), v)
+            if c_ < f * 11 // 10 or c_ > target * 2.9:
                 new.append(target)
                 changed = True
             else:
@@ -357,14 +377,15 @@ class Splatter:
             self.cfg.col_caps = tuple(new)
         return changed
 
-    def retune_visible_rows(self, n_visible: int) -> bool:
+    def retune_visible_rows(self, n_visible: int, growth: float = 1.0
+                            ) -> bool:
         """Shrink the candidate plane toward observed per-view visibility
         (plus margin for camera variation and densification growth)."""
         cap = self.table.capacity
         cur = int(self.cfg.visible_rows or cap)
-        target = min(max((int(n_visible * 1.35) // 4096 + 1) * 4096, 8192),
-                     cap)
-        if cur < n_visible * 1.1 or cur > target * 1.6:
+        gsq = max(growth, 1.0) ** 2
+        target = min(self._ladder(n_visible * 1.25 * gsq, base=8192), cap)
+        if cur < n_visible * 1.08 or cur > target * 2.9:
             self.cfg.visible_rows = target
             return True
         return False

@@ -444,6 +444,7 @@ class Trainer:
     def _densify(self, i_iter, _ac, _in_reset):
         t = self.tcfg
         self._sync_table_from_state()
+        n_live_before = max(int(self.splat.table.n_live), 1)
         grad_avg = self.state.accum_grad / (
             self.state.grad_counter[:, None] + 1e-3)
         self.sample_rng, sub = jax.random.split(self.sample_rng)
@@ -461,12 +462,16 @@ class Trainer:
         grown = self.splat.maybe_grow()
         retuned = False
         if getattr(self, "_last_metrics", None) is not None:
+            # provision budgets for the observed per-densify growth rate so
+            # steady growth crosses a recompile boundary only every ~+70%
+            # (a recompile costs minutes on remote-attached TPUs)
+            growth = int(self.splat.table.n_live) / n_live_before
             retuned = self.splat.retune_pair_capacity(
-                int(self._last_metrics["n_pairs"]))
+                int(self._last_metrics["n_pairs"]), growth)
             retuned = self.splat.retune_visible_rows(
-                int(self._last_metrics["n_visible"])) or retuned
+                int(self._last_metrics["n_visible"]), growth) or retuned
             retuned = self.splat.retune_col_caps(
-                self._last_metrics["col_fill"]) or retuned
+                self._last_metrics["col_fill"], growth) or retuned
             # candidate-plane width guard: grow K when the per-gaussian
             # tile cap clips a non-trivial fraction of pairs (quality)
             n_clip = int(self._last_metrics.get("n_clipped", 0))
