@@ -620,7 +620,7 @@ def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _raster_pallas(spec: RasterSpec, interpret, packed, sh_vecs, chunk_tile,
-                   chunk_first, chunk_last, chunk_len):
+                   chunk_first, chunk_last, chunk_len, tile_ok):
     tiles, accw = _raster_fwd_pallas(spec, packed, sh_vecs, chunk_tile,
                                      chunk_first, chunk_last, chunk_len,
                                      interpret)
@@ -630,12 +630,12 @@ def _raster_pallas(spec: RasterSpec, interpret, packed, sh_vecs, chunk_tile,
 
 
 def _raster_pallas_fwd(spec, interpret, packed, sh_vecs, chunk_tile,
-                       chunk_first, chunk_last, chunk_len):
+                       chunk_first, chunk_last, chunk_len, tile_ok):
     tiles, accw = _raster_fwd_pallas(spec, packed, sh_vecs, chunk_tile,
                                      chunk_first, chunk_last, chunk_len,
                                      interpret)
     res = (packed, sh_vecs, chunk_tile, chunk_first, chunk_last, chunk_len,
-           tiles)
+           tile_ok, tiles)
     return (tiles[:, :3, :].at[spec.n_tiles].set(0.0),
             accw.at[spec.n_tiles].set(0.0)), res
 
@@ -646,21 +646,28 @@ def _raster_pallas_bwd(spec, interpret, res, grads):
             "packed_bf16 is a render-only preset; train with "
             "packed_bf16=False (f32 buffers)")
     packed, sh_vecs, chunk_tile, chunk_first, chunk_last, chunk_len, \
-        out_tiles = res
+        tile_ok, out_tiles = res
     g_tiles, g_accw = grads
     n_rows = spec.n_tiles + 1
+    # Rows of chunk-budget-truncated (or empty) tiles are never (fully)
+    # written by the forward kernel — uninitialized HBM.  Their cotangent is
+    # zero, but the backward kernel computes gout * out_img, and 0 * NaN/Inf
+    # from a never-written row would poison grads of gaussians shared with
+    # healthy tiles.  Zero both operands for non-ok rows before the kernel.
+    out_tiles = jnp.where(tile_ok[:, None, None], out_tiles, 0.0)
     g_full = jnp.zeros((n_rows, 8, spec.px), jnp.float32)
     g_full = g_full.at[:, :3, :].set(g_tiles)
     # accw cotangent (nonzero when weight normalization — applied outside in
     # assemble_image — backprops through the Σw channel, output row 3)
     g_full = g_full.at[:, 3, :].set(g_accw)
+    g_full = jnp.where(tile_ok[:, None, None], g_full, 0.0)
     grad_packed = _raster_bwd_pallas(
         spec, packed, sh_vecs, chunk_tile, chunk_first, chunk_last,
         chunk_len, out_tiles, g_full, interpret,
     )
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (grad_packed, jnp.zeros_like(sh_vecs), f0(chunk_tile),
-            f0(chunk_first), f0(chunk_last), f0(chunk_len))
+            f0(chunk_first), f0(chunk_last), f0(chunk_len), f0(tile_ok))
 
 
 _raster_pallas.defvjp(_raster_pallas_fwd, _raster_pallas_bwd)
@@ -668,14 +675,21 @@ _raster_pallas.defvjp(_raster_pallas_fwd, _raster_pallas_bwd)
 
 def composite_chunks_pallas(packed, chunk_tile, chunk_first, chunk_last,
                             chunk_len, spec: RasterSpec, sh_vecs=None,
-                            interpret=False):
-    """Pallas counterpart of :func:`composite_chunks_jnp` (same contract)."""
+                            interpret=False, tile_ok=None):
+    """Pallas counterpart of :func:`composite_chunks_jnp` (same contract).
+
+    ``tile_ok`` ((T+1,) bool) marks tiles whose output rows the forward
+    kernel fully writes; pass it whenever gradients flow so the backward can
+    zero never-written rows (defaults to all-True for fits-in-budget use).
+    """
     if sh_vecs is None:
         sh_vecs = jnp.zeros((4, 3), jnp.float32)
+    if tile_ok is None:
+        tile_ok = jnp.ones((spec.n_tiles + 1,), jnp.bool_)
     chunk_first = chunk_first.astype(jnp.int32)
     chunk_last = chunk_last.astype(jnp.int32)
     return _raster_pallas(spec, interpret, packed, sh_vecs, chunk_tile,
-                          chunk_first, chunk_last, chunk_len)
+                          chunk_first, chunk_last, chunk_len, tile_ok)
 
 
 def rasterize(packed, binned, spec: RasterSpec, sh_vecs=None,
@@ -685,6 +699,7 @@ def rasterize(packed, binned, spec: RasterSpec, sh_vecs=None,
         tiles_color, tiles_accw = composite_chunks_pallas(
             packed, binned.chunk_tile, binned.chunk_first, binned.chunk_last,
             binned.chunk_len, spec, sh_vecs, interpret=interpret,
+            tile_ok=binned.tile_ok,
         )
     else:
         tiles_color, tiles_accw = composite_chunks_jnp(

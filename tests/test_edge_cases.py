@@ -93,6 +93,40 @@ def test_chunk_budget_overflow_fail_safe(rng):
     ref = rasterize(pack_pairs(big, proj, opa, color,
                                k_width=bspec.max_tiles_per_gaussian),
                     big, rspec, use_pallas=True, interpret=True)
+    refarr = np.asarray(ref)
 
     # shrink the budget below what the scene needs
     g = bspec.chunk_size
+    small = bspec._replace(slot_capacity=3 * g)
+    binned = bin_gaussians(proj, small)
+    assert int(binned.n_dropped) > 0
+    img = rasterize(pack_pairs(binned, proj, opa, color,
+                               k_width=small.max_tiles_per_gaussian),
+                    binned, rspec, use_pallas=True, interpret=True)
+    arr = np.asarray(img)
+    assert np.isfinite(arr).all()
+    tile_ok = np.asarray(binned.tile_ok)
+    assert not tile_ok.all()
+    th, tw = rspec.tile_h, rspec.tile_w
+    for t in range(rspec.n_tiles):
+        ty, tx = divmod(t, rspec.n_tile_x)
+        blk = arr[:, ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+        if tile_ok[t]:
+            np.testing.assert_allclose(
+                blk,
+                refarr[:, ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw],
+                atol=1e-5)
+        else:
+            np.testing.assert_array_equal(blk, 0.0)
+
+    # gradients through the truncated render stay finite (the backward
+    # zeroes never-written forward rows via tile_ok)
+    def loss(opa_, color_):
+        img2 = rasterize(pack_pairs(binned, proj, opa_, color_,
+                                    k_width=small.max_tiles_per_gaussian),
+                         binned, rspec, use_pallas=True, interpret=True)
+        return jnp.sum(img2)
+
+    grads = jax.grad(loss, argnums=(0, 1))(opa, color)
+    assert np.isfinite(np.asarray(grads[0])).all()
+    assert np.isfinite(np.asarray(grads[1])).all()
