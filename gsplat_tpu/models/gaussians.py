@@ -125,10 +125,13 @@ class DensifyStats(NamedTuple):
     n_cloned: jnp.ndarray
     n_split: jnp.ndarray
     overflowed: jnp.ndarray  # bool — capacity exhausted, host should grow
+    n_wanted: jnp.ndarray    # () int32 — keep+clone+split (pre-clamp total)
 
 
-@partial(jax.jit, static_argnames=("scale_activation", "grad_aggregation"),
-         donate_argnums=(0,))
+# NOT donated: on overflow the trainer re-runs the control step on the
+# pre-control table after growing capacity (the reference never drops
+# proposals — torch.cat, splatter.py:225-228), so the input must survive.
+@partial(jax.jit, static_argnames=("scale_activation", "grad_aggregation"))
 def adaptive_control(
     table: GaussianTable,
     grad: jnp.ndarray,            # (N, 3) accumulated |pos grad| (averaged)
@@ -217,7 +220,9 @@ def adaptive_control(
         n_live=new_n,
     )
     stats = DensifyStats(n_deleted=n_deleted, n_cloned=n_clone,
-                         n_split=n_split, overflowed=overflowed)
+                         n_split=n_split, overflowed=overflowed,
+                         n_wanted=(n_keep + n_clone + n_split
+                                   ).astype(jnp.int32))
     return new_table, stats
 
 
@@ -228,10 +233,16 @@ def reset_opacity(table: GaussianTable) -> GaussianTable:
 
 
 def grow_capacity(table: GaussianTable, capacity_round: int,
-                  headroom: float = 1.5) -> GaussianTable:
-    """Host-side bucketed capacity growth (recompile boundary)."""
+                  headroom: float = 1.5,
+                  min_capacity: int = 0) -> GaussianTable:
+    """Host-side bucketed capacity growth (recompile boundary).
+
+    ``min_capacity`` forces at least that many slots — used by the
+    densify-overflow retry, where the needed total (stats.n_wanted) can
+    exceed occupancy-based growth."""
     n = int(table.n_live)
-    new_cap = _round_capacity(int(n * headroom), capacity_round)
+    new_cap = _round_capacity(max(int(n * headroom), min_capacity),
+                              capacity_round)
     if new_cap <= table.capacity:
         return table
 

@@ -341,7 +341,8 @@ class Splatter:
         extra = bspec.slot_capacity - floor
         gsq = max(growth, 1.0) ** 2
         target = self._ladder(n_pairs * 1.35 * gsq)
-        if extra < n_pairs * 1.15 or extra > target * 2.9:
+        if ((extra < n_pairs * 1.15 or extra > target * 2.9)
+                and target != self.cfg.pair_capacity):
             self.cfg.pair_capacity = target
             return True
         return False
@@ -368,7 +369,7 @@ class Splatter:
         changed = False
         for f, c_ in zip(fills, cur[:k]):
             target = min(self._ladder(f * 1.2 * gsq), v)
-            if c_ < f * 11 // 10 or c_ > target * 2.9:
+            if (c_ < f * 11 // 10 or c_ > target * 2.9) and target != c_:
                 new.append(target)
                 changed = True
             else:
@@ -385,7 +386,7 @@ class Splatter:
         cur = int(self.cfg.visible_rows or cap)
         gsq = max(growth, 1.0) ** 2
         target = min(self._ladder(n_visible * 1.25 * gsq, base=8192), cap)
-        if cur < n_visible * 1.08 or cur > target * 2.9:
+        if (cur < n_visible * 1.08 or cur > target * 2.9) and target != cur:
             self.cfg.visible_rows = target
             return True
         return False

@@ -152,6 +152,68 @@ def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False,
     return train_step
 
 
+def window_scan(loss_fn, tcfg: TrainConfig, cams, st: TrainState,
+                cam_idxs, lrs_arr, clear_flags, pmean_axis=None):
+    """K-step training scan shared by the single-chip window and the
+    data-parallel shard function (which wraps it in shard_map and passes
+    ``pmean_axis`` so per-device gradients/metrics reduce over ICI)."""
+    b1, b2, eps = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps
+
+    def body(st, inp):
+        cam_idx, lrs, clear = inp
+        accum0 = jnp.where(clear, 0.0, st.accum_grad)
+        counter0 = jnp.where(clear, 0.0, st.grad_counter)
+        rot = cams.w2c_rot[cam_idx]
+        tran = cams.w2c_tran[cam_idx]
+        shv = cams.sh_vecs[cam_idx]
+        gt = cams.images[cam_idx].astype(jnp.float32) / 255.0
+        grads, (metrics, aux, _img) = jax.grad(
+            loss_fn, has_aux=True)(st.params, st.live, rot, tran, shv, gt)
+        visible = aux["visible"].astype(jnp.float32)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            metrics = jax.lax.pmean(metrics, pmean_axis)
+            visible = jax.lax.pmean(visible, pmean_axis)
+            # budget counters must see the worst device, not the mean
+            aux = dict(aux, **{k: jax.lax.pmax(aux[k], pmean_axis)
+                               for k in ("n_pairs", "n_clipped",
+                                         "n_max_tiles", "n_visible",
+                                         "n_vis_dropped", "n_dropped",
+                                         "col_fill", "n_plane_clipped")})
+        new_params, new_opt = adam_update(st.params, grads, st.opt, lrs,
+                                          b1, b2, eps)
+        pg = jnp.abs(grads["pos"])
+        if tcfg.grad_accum_method == "mean":
+            accum = accum0 + pg
+            counter = counter0 + visible
+        else:
+            accum = jnp.maximum(accum0, pg)
+            counter = jnp.ones_like(counter0)
+        metrics = dict(metrics, n_pairs=aux["n_pairs"],
+                       n_clipped=aux["n_clipped"],
+                       n_max_tiles=aux["n_max_tiles"],
+                       n_visible=aux["n_visible"],
+                       n_vis_dropped=aux["n_vis_dropped"],
+                       n_dropped=aux["n_dropped"],
+                       col_fill=aux["col_fill"],
+                       n_plane_clipped=aux["n_plane_clipped"])
+        return (TrainState(new_params, st.live, new_opt, accum, counter),
+                metrics)
+
+    st, ms = jax.lax.scan(body, st, (cam_idxs, lrs_arr, clear_flags))
+    # surface the last step's values for losses, but the WINDOW MAX for
+    # budget/overflow counters — an overflow in any step of the window
+    # must reach the retune logic, not just one that lands on the last
+    # step
+    maxed = {"n_pairs", "n_clipped", "n_max_tiles", "n_visible",
+             "n_vis_dropped", "n_dropped", "n_plane_clipped",
+             "col_fill"}
+    out = {k: (jnp.max(v, axis=0) if k in maxed else
+               jax.tree.map(lambda x: x[-1], v))
+           for k, v in ms.items()}
+    return st, out
+
+
 def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False,
                       group: int = 0):
     """Multi-step training window: ONE dispatch runs K steps via lax.scan.
@@ -168,53 +230,12 @@ def make_train_window(splat: Splatter, tcfg: TrainConfig, interpret=False,
     cams = splat.camera_groups[group]
     grid = cams.grid
     bspec, rspec = splat.specs(grid)
-    b1, b2, eps = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps
     loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, interpret)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_window(st: TrainState, cam_idxs, lrs_arr, clear_flags):
-        def body(st, inp):
-            cam_idx, lrs, clear = inp
-            accum0 = jnp.where(clear, 0.0, st.accum_grad)
-            counter0 = jnp.where(clear, 0.0, st.grad_counter)
-            rot = cams.w2c_rot[cam_idx]
-            tran = cams.w2c_tran[cam_idx]
-            shv = cams.sh_vecs[cam_idx]
-            gt = cams.images[cam_idx].astype(jnp.float32) / 255.0
-            grads, (metrics, aux, _img) = jax.grad(
-                loss_fn, has_aux=True)(st.params, st.live, rot, tran, shv, gt)
-            new_params, new_opt = adam_update(st.params, grads, st.opt, lrs,
-                                              b1, b2, eps)
-            pg = jnp.abs(grads["pos"])
-            if tcfg.grad_accum_method == "mean":
-                accum = accum0 + pg
-                counter = counter0 + aux["visible"].astype(jnp.float32)
-            else:
-                accum = jnp.maximum(accum0, pg)
-                counter = jnp.ones_like(counter0)
-            metrics = dict(metrics, n_pairs=aux["n_pairs"],
-                           n_clipped=aux["n_clipped"],
-                           n_max_tiles=aux["n_max_tiles"],
-                           n_visible=aux["n_visible"],
-                           n_vis_dropped=aux["n_vis_dropped"],
-                           n_dropped=aux["n_dropped"],
-                           col_fill=aux["col_fill"],
-                           n_plane_clipped=aux["n_plane_clipped"])
-            return (TrainState(new_params, st.live, new_opt, accum, counter),
-                    metrics)
-
-        st, ms = jax.lax.scan(body, st, (cam_idxs, lrs_arr, clear_flags))
-        # surface the last step's values for losses, but the WINDOW MAX for
-        # budget/overflow counters — an overflow in any step of the window
-        # must reach the retune logic, not just one that lands on the last
-        # step
-        maxed = {"n_pairs", "n_clipped", "n_max_tiles", "n_visible",
-                 "n_vis_dropped", "n_dropped", "n_plane_clipped",
-                 "col_fill"}
-        out = {k: (jnp.max(v, axis=0) if k in maxed else
-                   jax.tree.map(lambda x: x[-1], v))
-               for k, v in ms.items()}
-        return st, out
+        return window_scan(loss_fn, tcfg, cams, st, cam_idxs, lrs_arr,
+                           clear_flags)
 
     return train_window
 
@@ -308,6 +329,12 @@ class Trainer:
         self.rng = np.random.default_rng(tcfg.seed)
         self.sample_rng = jax.random.PRNGKey(tcfg.seed)
 
+        # data-parallel mesh (--dp N): replicated table + camera batch of N
+        self.mesh = None
+        if tcfg.dp and tcfg.dp > 1:
+            from gsplat_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh({"data": tcfg.dp})
+
         self.state = TrainState(
             params=splat.table.params(),
             live=splat.table.live,
@@ -315,11 +342,20 @@ class Trainer:
             accum_grad=jnp.zeros_like(splat.table.pos),
             grad_counter=jnp.zeros(splat.table.capacity, jnp.float32),
         )
+        self._replicate_state()
         self._step_cache = {}
         self._window_cache = {}
         self._eval_cache = {}
         self._eval_batch_cache = {}
         self.history = {"l1": [], "ssim": [], "psnr": []}
+
+    def _replicate_state(self):
+        """Pin every state leaf replicated over the dp mesh (no-op without
+        one).  Fresh host arrays (densify rebuilds, checkpoint loads) land
+        single-device by default; the sharded window needs them P()."""
+        if self.mesh is not None:
+            from gsplat_tpu.parallel.data_parallel import replicate_state
+            self.state = replicate_state(self.state, self.mesh)
 
     # lazy per-intrinsics-group compiled functions -----------------------
     def _train_step_for(self, g: int):
@@ -330,8 +366,15 @@ class Trainer:
 
     def _train_window_for(self, g: int):
         if g not in self._window_cache:
-            self._window_cache[g] = make_train_window(
-                self.splat, self.tcfg, self.interpret, group=g)
+            if self.mesh is not None:
+                from gsplat_tpu.parallel.data_parallel import \
+                    make_dp_train_window
+                self._window_cache[g] = make_dp_train_window(
+                    self.splat, self.tcfg, self.mesh,
+                    interpret=self.interpret, group=g)
+            else:
+                self._window_cache[g] = make_train_window(
+                    self.splat, self.tcfg, self.interpret, group=g)
         return self._window_cache[g]
 
     def _eval_step_for(self, g: int):
@@ -393,9 +436,14 @@ class Trainer:
             self.splat.table = reset_opacity(self.splat.table)
             self.state = self.state._replace(
                 params=self.splat.table.params())
+            self._replicate_state()
 
     def train_step(self, i_iter: int):
         t = self.tcfg
+        if self.mesh is not None:
+            # the dp path always runs through the sharded window (K=1 here);
+            # a separate per-step executable would double the compile count
+            return self.train_window(i_iter, i_iter)
         if self._pre_clear(i_iter):
             self.state = self.state._replace(
                 accum_grad=jnp.zeros_like(self.state.accum_grad),
@@ -430,9 +478,16 @@ class Trainer:
         # cameras are sampled within it
         g, cam0 = self.flat_cams[int(self.rng.choice(self.train_split))]
         pool = self._group_train[g]
-        cams = jnp.asarray(
-            [cam0] + [int(self.rng.choice(pool)) for _ in range(k - 1)],
-            jnp.int32)
+        if self.mesh is not None:
+            # (K, D) camera plane: one column per data-parallel device
+            d = self.mesh.shape["data"]
+            flat = [cam0] + [int(self.rng.choice(pool))
+                             for _ in range(k * d - 1)]
+            cams = jnp.asarray(flat, jnp.int32).reshape(k, d)
+        else:
+            cams = jnp.asarray(
+                [cam0] + [int(self.rng.choice(pool)) for _ in range(k - 1)],
+                jnp.int32)
         lrs = jnp.stack([self.lrs_at(x) for x in range(i0, i1 + 1)])
         clear = jnp.asarray([self._pre_clear(x) for x in range(i0, i1 + 1)])
         self.state, metrics = self._train_window_for(g)(
@@ -450,16 +505,38 @@ class Trainer:
         self.sample_rng, sub = jax.random.split(self.sample_rng)
         use_clone = t.use_clone and _ac and not _in_reset
         use_split = t.use_split and _ac and not _in_reset
-        new_table, stats = adaptive_control(
-            self.splat.table, grad_avg, sub,
-            taus=t.split_thresh, delete_thresh=t.delete_thresh,
-            grad_thresh=t.grad_thresh, clone_dt=t.clone_dt,
-            use_clone=jnp.asarray(use_clone), use_split=jnp.asarray(use_split),
-            scale_activation=self.splat.cfg.scale_activation,
-            grad_aggregation=t.grad_aggregation,
-        )
+        grown = False
+        pre_table = self.splat.table
+
+        def run_control(tbl, grads):
+            return adaptive_control(
+                tbl, grads, sub,
+                taus=t.split_thresh, delete_thresh=t.delete_thresh,
+                grad_thresh=t.grad_thresh, clone_dt=t.clone_dt,
+                use_clone=jnp.asarray(use_clone),
+                use_split=jnp.asarray(use_split),
+                scale_activation=self.splat.cfg.scale_activation,
+                grad_aggregation=t.grad_aggregation,
+            )
+
+        new_table, stats = run_control(pre_table, grad_avg)
+        if bool(stats.overflowed):
+            # Capacity couldn't hold all proposed clones/splits.  The
+            # reference never drops proposals (torch.cat grows the tensors,
+            # splatter.py:225-228) — grow the PRE-control table to fit
+            # stats.n_wanted and re-run, so nothing is lost.
+            from gsplat_tpu.models.gaussians import grow_capacity as _grow
+            need = int(stats.n_wanted)
+            pre_table = _grow(pre_table, self.splat.cfg.capacity_round,
+                              min_capacity=int(need * 1.1) + 1)
+            pad_n = pre_table.capacity - grad_avg.shape[0]
+            if pad_n > 0:
+                grad_avg = jnp.concatenate(
+                    [grad_avg, jnp.zeros((pad_n, 3), grad_avg.dtype)])
+            new_table, stats = run_control(pre_table, grad_avg)
+            grown = True
         self.splat.table = new_table
-        grown = self.splat.maybe_grow()
+        grown = self.splat.maybe_grow() or grown
         retuned = False
         if getattr(self, "_last_metrics", None) is not None:
             # provision budgets for the observed per-densify growth rate so
@@ -489,6 +566,7 @@ class Trainer:
             accum_grad=jnp.zeros_like(tbl.pos),
             grad_counter=jnp.zeros(tbl.capacity, jnp.float32),
         )
+        self._replicate_state()
         if t.debug:
             s = jax.device_get(stats)
             print(f"[densify @{i_iter}] del={int(s.n_deleted)} "
@@ -552,10 +630,18 @@ class Trainer:
         """
         self._sync_table_from_state()
         st = jax.device_get(self.state)
+        cfg = self.splat.cfg
         np.savez_compressed(
             path, i_iter=i_iter,
             live=st.live, accum_grad=st.accum_grad,
             grad_counter=st.grad_counter, adam_t=st.opt.t,
+            # tuned static budgets — restoring them on resume avoids a
+            # cold-start overflow/retune (= recompile) cascade
+            cfg_pair_capacity=np.int64(
+                -1 if cfg.pair_capacity is None else cfg.pair_capacity),
+            cfg_visible_rows=np.int64(cfg.visible_rows or 0),
+            cfg_col_caps=np.asarray(list(cfg.col_caps or ()), np.int64),
+            cfg_k=np.int64(cfg.max_tiles_per_gaussian),
             **{f"p_{k}": v for k, v in st.params.items()},
             **{f"mu_{k}": v for k, v in st.opt.mu.items()},
             **{f"nu_{k}": v for k, v in st.opt.nu.items()},
@@ -576,7 +662,18 @@ class Trainer:
                 grad_counter=jnp.asarray(z["grad_counter"]),
             )
             i_iter = int(z["i_iter"])
+            cfg = self.splat.cfg
+            if "cfg_pair_capacity" in z:
+                pc = int(z["cfg_pair_capacity"])
+                cfg.pair_capacity = None if pc < 0 else pc
+                cfg.visible_rows = int(z["cfg_visible_rows"]) or None
+                caps = tuple(int(x) for x in z["cfg_col_caps"])
+                cfg.col_caps = caps or None
+                cfg.max_tiles_per_gaussian = int(z["cfg_k"])
+                self.splat._specs_cache.clear()
+        self._replicate_state()
         self._sync_table_from_state()
+        self._rebuild_after_capacity_change()
         return i_iter
 
     def save_render(self, i_iter: int, camera_id: int = 0):
@@ -602,11 +699,11 @@ class Trainer:
                 or bool(t.n_save_train_img
                         and i % t.n_save_train_img == 0 and i > 0))
 
-    def train(self, n_iters=None, metrics_every=20, log=print):
+    def train(self, n_iters=None, metrics_every=20, log=print, start=0):
         t = self.tcfg
         n_iters = n_iters or t.n_iters
         t_start = time.perf_counter()
-        i = 0
+        i = start
         while i < n_iters:
             if t.debug:
                 # single-step mode keeps per-step stage timing meaningful
@@ -714,7 +811,12 @@ def build_argparser():
     p.add_argument("--ckpt", type=str, default="")
     p.add_argument("--scale_activation", type=str, default="abs",
                    choices=["abs", "exp"])
-    p.add_argument("--fast_drawing", type=int, default=1)
+    p.add_argument("--fast_drawing", type=int, default=1,
+                   help="reference flag: float-vs-double kernel math "
+                        "(renderer.py:22,40).  TPU mapping: enables the "
+                        "bf16-packed render preset on render-only surfaces "
+                        "(viewer Fast Mode default); training math is "
+                        "always f32")
     p.add_argument("--exp", type=str, default="default")
     p.add_argument("--grad_accum_iters", type=int, default=t.grad_accum_iters)
     p.add_argument("--grad_accum_method", type=str, default="max",
@@ -735,6 +837,10 @@ def build_argparser():
                    help="gaussian table capacity bucket (smaller for tiny "
                         "scenes to avoid padded compute)")
     p.add_argument("--metrics_every", type=int, default=20)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel width: train over an N-device "
+                        "jax mesh (replicated table, N-camera batch, "
+                        "pmean grads over ICI); 0/1 = single device")
     # GUI
     p.add_argument("--gui", type=int, default=0)
     p.add_argument("--test", type=int, default=0)
@@ -780,13 +886,15 @@ def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
         adaptive_control_end_iter=a.adaptive_control_end_iter,
         ssim_weight=a.ssim_weight, scale_reg=a.scale_reg, opa_reg=a.opa_reg,
         seed=a.seed, exp=a.exp, data=a.data,
-        ckpt=a.ckpt or None, debug=bool(a.debug),
+        ckpt=a.ckpt or None, debug=bool(a.debug), dp=a.dp,
     )
     return scfg, tcfg
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from gsplat_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     np.random.seed(args.seed)
     scfg, tcfg = configs_from_args(args)
     data_path = os.path.join(args.data, "sparse", "0")

@@ -98,6 +98,36 @@ def test_densification_in_training(scene):
     assert n1 != n0  # delete or split happened
 
 
+def test_densify_overflow_retry(scene):
+    """A control step overflowing capacity must not drop proposals: the
+    trainer grows the pre-control table and re-runs, ending with the same
+    n_live as an ample-capacity run (reference torch.cat semantics,
+    splatter.py:225-228)."""
+    def run(capacity_round):
+        sp = _splat(scene)
+        # rebuild the table with the requested capacity bucket
+        from gsplat_tpu.models.gaussians import grow_capacity
+        if capacity_round > 128:
+            sp.cfg.capacity_round = capacity_round
+            sp.table = grow_capacity(sp.table, capacity_round,
+                                     min_capacity=capacity_round)
+        tcfg = TrainConfig(n_iters=10, n_iters_test=0, n_save_train_img=0,
+                           grad_thresh=0.0, split_thresh=0.0, use_split=True,
+                           delete_thresh=100.0, seed=3)
+        tr = Trainer(sp, tcfg)
+        # every live gaussian proposes a split
+        tr.state = tr.state._replace(
+            accum_grad=jnp.ones_like(tr.state.accum_grad),
+            grad_counter=jnp.ones_like(tr.state.grad_counter))
+        tr._densify(700, True, False)
+        return int(tr.splat.table.n_live)
+
+    n_tight = run(128)    # capacity 128, 100 live → 200 wanted: overflows
+    n_ample = run(1024)   # fits outright
+    assert n_ample == 200
+    assert n_tight == n_ample
+
+
 def test_evaluate_and_checkpoint(scene, tmp_path):
     losses, tr = _short_train(scene, use_pallas=False, interpret=False, n=5)
     ev = tr.evaluate()
