@@ -29,6 +29,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gsplat_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from gsplat_tpu.config import SplatConfig, TrainConfig
     from gsplat_tpu.models.splatter import make_specs, render_padded
     from gsplat_tpu.ops.losses import psnr as psnr_fn

@@ -31,7 +31,12 @@ def main():
     ap.add_argument("--n_iters", type=int, default=7001)
     ap.add_argument("--use_sh_coeff", type=int, default=0)
     ap.add_argument("--metrics_every", type=int, default=50)
+    ap.add_argument("--resume", type=int, default=1,
+                    help="resume from {exp}/full_state.npz when present")
     args = ap.parse_args()
+
+    from gsplat_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     if not os.path.exists(os.path.join(args.scene, "sparse", "0",
                                        "points3D.bin")):
@@ -72,7 +77,15 @@ def main():
     log(f"scene loaded: n_live={int(splat.table.n_live)} "
         f"capacity={splat.table.capacity} ({time.time()-t0:.0f}s)")
     trainer = Trainer(splat, tcfg)
-    cap_traj = [(0, int(splat.table.n_live), splat.table.capacity)]
+    full_path = os.path.join(args.exp, "full_state.npz")
+    start = 0
+    if args.resume and os.path.exists(full_path):
+        start = trainer.load_full(full_path) + 1
+        log(f"resumed from {full_path} at iter {start} "
+            f"(n_live={int(trainer.splat.table.n_live)} "
+            f"capacity={trainer.splat.table.capacity})")
+    cap_traj = [(start, int(trainer.splat.table.n_live),
+                 trainer.splat.table.capacity)]
 
     orig_densify = trainer._densify
 
@@ -82,9 +95,11 @@ def main():
                          trainer.splat.table.capacity))
         log(f"densify @{i_iter}: n_live={cap_traj[-1][1]} "
             f"capacity={cap_traj[-1][2]} t={time.time()-t0:.0f}s")
+        if i_iter % 500 == 0:
+            trainer.save_full(full_path, i_iter)  # crash-resumable
 
     trainer._densify = densify_logged
-    trainer.train(metrics_every=a.metrics_every, log=log)
+    trainer.train(metrics_every=a.metrics_every, log=log, start=start)
     wall = time.time() - t0
     ev = trainer.evaluate()
     trainer.save()
