@@ -132,6 +132,11 @@ class TrainConfig:
     scale_reg: float = 0.0
     opa_reg: float = 0.0
 
+    # --- multi-chip (TPU-native addition; the reference is single-GPU) ---
+    # data-parallel width: 0/1 = single device; N>1 trains over an N-device
+    # jax mesh (replicated table, camera-level batch, pmean grads over ICI)
+    dp: int = 0
+
     # --- misc ---
     seed: int = 2023
     exp: str = "default"

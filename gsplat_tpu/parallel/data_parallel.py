@@ -23,7 +23,7 @@ from jax import shard_map
 
 from gsplat_tpu.config import SplatConfig, TrainConfig
 from gsplat_tpu.train import AdamState, GROUP_ORDER, TrainState, \
-    adam_update, make_loss_fn
+    adam_update, make_loss_fn, window_scan
 
 
 class DPCameras(NamedTuple):
@@ -86,6 +86,51 @@ def make_dp_train_step(grid, cfg: SplatConfig, tcfg: TrainConfig, bspec,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_dp_train_window(splat, tcfg: TrainConfig, mesh: Mesh,
+                         axis: str = "data", interpret=False,
+                         group: int = 0):
+    """Data-parallel K-step training window (the Trainer's ``--dp`` path).
+
+    Per dispatch: each device of the ``data`` axis runs the same K-step
+    lax.scan on its own camera column of the (K, D) index array, gradients
+    pmean over ICI inside every step, Adam stays replicated — effective
+    batch = D cameras per optimizer step.  Camera arrays are passed
+    replicated (pixels never cross the interconnect; the gaussian table is
+    the replicated model state, exactly the layout the scaling-book DP
+    recipe prescribes for a model this small).
+
+    Returns window(state, cam_idxs (K, D), lrs (K, 5), clear (K,)) →
+    (state, metrics) with replicated outputs.
+    """
+    cfg = splat.cfg
+    cams = splat.camera_groups[group]
+    grid = cams.grid
+    bspec, rspec = splat.specs(grid)
+    loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, interpret)
+    cam_arrays = DPCameras(w2c_rot=cams.w2c_rot, w2c_tran=cams.w2c_tran,
+                           sh_vecs=cams.sh_vecs, images=cams.images)
+
+    def shard_fn(state: TrainState, cam_arr: DPCameras, cam_idxs,
+                 lrs_arr, clear_flags):
+        # cam_idxs arrives as the local (K, 1) column of the (K, D) plane
+        return window_scan(loss_fn, tcfg, cam_arr, state,
+                           cam_idxs[:, 0], lrs_arr, clear_flags,
+                           pmean_axis=axis)
+
+    rep = P()
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rep, rep, P(None, axis), rep, rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+
+    def window(state, cam_idxs, lrs_arr, clear_flags):
+        return sharded(state, cam_arrays, cam_idxs, lrs_arr, clear_flags)
+
+    return jax.jit(window, donate_argnums=(0,))
 
 
 def shard_cameras(cameras: DPCameras, mesh: Mesh, axis: str = "data"

@@ -1,0 +1,119 @@
+"""Data-parallel training as a *product* feature: the Trainer's --dp path
+end-to-end on an 8-virtual-device CPU mesh, including densification,
+opacity reset, budget retunes and eval on replicated state.
+
+(The reference has no distributed story at all — SURVEY.md §2; this is the
+TPU-native capability the blueprint owes: replicated gaussian table,
+camera-level batch, pmean gradients over the mesh.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gsplat_tpu.config import SplatConfig, TrainConfig
+from gsplat_tpu.models.splatter import Splatter
+from gsplat_tpu.train import Trainer, make_train_window
+
+from fixtures import make_scene
+from test_train_e2e import _splat
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dpscene")
+    make_scene(str(d), n_points=100, n_cameras=9, w=64, h=48)
+    return str(d)
+
+
+def _trainer(scene, dp, **kw):
+    sp = _splat(scene)
+    tcfg = TrainConfig(n_iters=20, n_iters_warmup=5, n_iters_test=0,
+                       n_save_train_img=0, n_adaptive_control=10**9,
+                       ssim_weight=0.1, lr=0.01, seed=1, dp=dp, **kw)
+    return Trainer(sp, tcfg, interpret=False)
+
+
+def test_dp_window_decreases_loss(scene):
+    tr = _trainer(scene, dp=8)
+    assert tr.mesh is not None and tr.mesh.shape["data"] == 8
+    losses = []
+    i = 0
+    while i < 20:
+        m = tr.train_window(i, min(i + 4, 19))
+        losses.append(float(m["l1"]))
+        i = min(i + 4, 19) + 1
+    assert losses[-1] < losses[0] * 0.85, losses
+
+
+def test_dp_single_step_delegates(scene):
+    tr = _trainer(scene, dp=8)
+    m = tr.train_step(0)
+    assert np.isfinite(float(m["l1"]))
+
+
+def test_dp_matches_single_device_same_cameras(scene):
+    """A dp window where every device column samples the SAME camera per
+    step must track the single-device window (pmean of identical grads is
+    the identity; tolerances are loose because Adam's 1/(sqrt(nu)+eps)
+    amplifies low-order-bit differences between the shard_map and plain-jit
+    compilations — exact one-step equivalence is test_dp_equivalence)."""
+    tr_dp = _trainer(scene, dp=8)
+    tr_1 = _trainer(scene, dp=0)
+    k = 3
+    cams_flat = jnp.asarray([1, 2, 3], jnp.int32)
+    lrs = jnp.stack([tr_1.lrs_at(x) for x in range(k)])
+    clear = jnp.zeros((k,), bool)
+
+    w1 = make_train_window(tr_1.splat, tr_1.tcfg, tr_1.interpret, group=0)
+    s1, m1 = w1(tr_1.state, cams_flat, lrs, clear)
+
+    cams_dp = jnp.tile(cams_flat[:, None], (1, 8))
+    wdp = tr_dp._train_window_for(0)
+    s2, m2 = wdp(tr_dp.state, cams_dp, lrs, clear)
+
+    np.testing.assert_allclose(float(m1["l1"]), float(m2["l1"]), rtol=1e-4)
+    for key in ("pos", "opa", "rgb", "quat", "scale"):
+        np.testing.assert_allclose(
+            np.asarray(s1.params[key]), np.asarray(s2.params[key]),
+            rtol=5e-3, atol=5e-3, err_msg=key)
+
+
+def test_dp_training_with_densification(scene):
+    """Full product path: densify (incl. capacity growth + window rebuild)
+    under the mesh, loss keeps decreasing afterwards."""
+    sp = _splat(scene)
+    tcfg = TrainConfig(n_iters=10, n_iters_warmup=2, n_iters_test=0,
+                       n_save_train_img=0, n_adaptive_control=5,
+                       grad_thresh=1e-7, split_thresh=0.01, use_split=True,
+                       lr=0.01, seed=1, dp=8)
+    tr = Trainer(sp, tcfg, interpret=False)
+    n0 = int(sp.table.n_live)
+    losses = []
+    # iterate past 600 so adaptive control triggers (reference train.py:87)
+    for i in range(601, 616):
+        m = tr.train_step(i)
+        losses.append(float(m["l1"]))
+    n1 = int(tr.splat.table.n_live)
+    assert n1 != n0                      # densification happened under dp
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) <= np.mean(losses[:3]) * 1.2
+    # state must still be replicated over the mesh after the rebuild
+    for leaf in jax.tree.leaves(tr.state):
+        assert not leaf.sharding.is_fully_addressable or \
+            leaf.sharding.is_fully_replicated
+
+
+def test_dp_opa_reset_and_eval(scene):
+    sp = _splat(scene)
+    tcfg = TrainConfig(n_iters=10, n_iters_warmup=2, n_iters_test=0,
+                       n_save_train_img=0, n_adaptive_control=10**9,
+                       n_opa_reset=4, reset_interval=2, lr=0.01, seed=1,
+                       dp=8)
+    tr = Trainer(sp, tcfg, interpret=False)
+    for i in range(1, 6):
+        tr.train_step(i)
+    # reset happened at i=4: live opacities clamped low right after
+    ev = tr.evaluate()
+    assert np.isfinite(ev["psnr"]) and 0.0 < ev["ssim"] <= 1.0
