@@ -67,8 +67,13 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
          impl: str = "matmul", layout: str = "hwc") -> jnp.ndarray:
     """Mean SSIM over an image pair (gaussian window, valid region).
 
-    Matches torchmetrics ``StructuralSimilarityIndexMeasure(data_range=1.0)``
-    numerics (verified in tests/test_losses.py).
+    Implements the algorithm of torchmetrics
+    ``StructuralSimilarityIndexMeasure(data_range=1.0)`` (the reference's
+    metric, train.py:72): 11x11 gaussian, sigma 1.5, k1/k2 0.01/0.03,
+    valid-window mean (torchmetrics' reflect-pad + conv + crop-the-pad is
+    exactly the valid-window mean).  Verified in tests/test_losses.py
+    against a float64 numpy oracle and pinned golden values; the direct
+    torchmetrics cross-check runs wherever that package is installed.
 
     layout="hwc" takes (H, W, C); layout="chw" takes the pipeline's
     channel-major (C, H, W) images (no layout shuffles anywhere — a

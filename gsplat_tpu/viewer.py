@@ -40,10 +40,29 @@ def camera_to_w2c(wxyz: np.ndarray, position: np.ndarray) -> np.ndarray:
     return np.linalg.inv(c2w)
 
 
+# GUI resolution ladder: arbitrary slider/viewport sizes are snapped to a
+# few precompiled grids, so dragging the resolution slider costs at most one
+# compile per rung per session instead of one per pixel value.  (The
+# reference rebuilds cheap host-side tile state per size, visergui.py /
+# splatter.py:467-511 — on XLA every new (W, H, focal) is a new executable.)
+RES_LADDER = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+def snap_resolution(width: int, aspect: float, fov: float,
+                    tile: int = 16) -> tuple[int, int, float]:
+    """(W, H, fov) quantized: W to the ladder, H to tile multiples, fov to
+    0.5-degree steps — bounding the number of distinct compile signatures a
+    GUI session can produce."""
+    w = min(RES_LADDER, key=lambda r: abs(r - width))
+    h = max(int(round(w / aspect / tile)) * tile, tile)
+    fov_q = round(float(fov) / np.deg2rad(0.5)) * np.deg2rad(0.5)
+    return w, h, fov_q
+
+
 def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
                      focal_x: float, focal_y: float, interpret=False,
                      near: float | None = None, far: float | None = None,
-                     sh_order: int | None = None, fast: bool = False):
+                     sh_order: int | None = None, fast: bool | None = None):
     """Render an arbitrary camera (the GUI path, splatter.py:467-487).
 
     near/far clip planes and the SH evaluation order are honoured when
@@ -51,12 +70,24 @@ def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
     them into its renderer).  ``fast=True`` renders with the bf16-packed
     payload preset (~sub-pixel/0.4% channel quantization, measured >40 dB
     vs the f32 render) — the GUI's interactive mode.
+
+    The whole device pipeline runs as ONE jitted function cached per
+    (grid, spec) signature on the splat (``_offscreen_cache``): repeat
+    frames at the same signature cost one dispatch, far/sh-order/pose
+    changes never retrace (far is a traced operand; SH masking is an
+    elementwise multiply on the params).
     """
+    import jax
     import jax.numpy as jnp
 
     cfg = splat.cfg
     if near is not None:
         cfg = dataclasses.replace(cfg, near=float(near))
+    if fast is None:
+        # --fast_drawing maps here: the reference flag selects float-vs-
+        # double kernel math (renderer.py:22,40); the TPU analogue is the
+        # bf16-packed render preset on render-only surfaces
+        fast = bool(cfg.fast_drawing)
     if fast and cfg.fused_pack and cfg.plane_mode == "colcap":
         cfg = dataclasses.replace(cfg, packed_bf16=True)
     grid = TileGrid(width=int(width), height=int(height),
@@ -77,23 +108,32 @@ def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
             for ch in range(3):
                 mask[9 * ch:9 * ch + keep] = 1.0
             params = dict(params, rgb=params["rgb"] * jnp.asarray(mask))
-    live = splat.table.live
-    if far is not None:
-        # Euclidean far-plane cull (depth semantics match projection:
-        # ||p_cam||, gaussian.cu:1217); applied through the live mask so
-        # the whole jitted pipeline stays unchanged
-        import jax
 
-        pos = params["pos"]
-        rj = jnp.asarray(rot, jnp.float32)
-        tj = jnp.asarray(tran, jnp.float32)
-        p_c = jnp.matmul(pos, rj.T, precision=jax.lax.Precision.HIGHEST) + tj
-        live = live & (jnp.linalg.norm(p_c, axis=-1) < float(far))
-    img, _ = render_cropped(
-        params, live,
+    cache = getattr(splat, "_offscreen_cache", None)
+    if cache is None:
+        cache = splat._offscreen_cache = {}
+    # bspec/rspec carry most of the compile signature; near and the scale
+    # activation enter projection directly and must key the cache too
+    key = (grid, bspec, rspec, bool(interpret), cfg.near,
+           cfg.scale_activation, cfg.use_pallas)
+    if key not in cache:
+        def _render(params, live, rot, tran, shv, far_v):
+            # Euclidean far-plane cull (depth = ||p_cam||, gaussian.cu:1217)
+            # via the live mask; far rides as a traced scalar so slider
+            # moves never retrace
+            pos = params["pos"]
+            p_c = jnp.matmul(pos, rot.T,
+                             precision=jax.lax.Precision.HIGHEST) + tran
+            live = live & (jnp.linalg.norm(p_c, axis=-1) < far_v)
+            img, _ = render_cropped(params, live, rot, tran, shv, grid,
+                                    cfg, bspec, rspec, interpret=interpret)
+            return img
+        cache[key] = jax.jit(_render)
+    img = cache[key](
+        params, splat.table.live,
         jnp.asarray(rot, jnp.float32), jnp.asarray(tran, jnp.float32),
-        jnp.asarray(shv, jnp.float32), grid, cfg, bspec, rspec,
-        interpret=interpret)
+        jnp.asarray(shv, jnp.float32),
+        jnp.float32(np.inf if far is None else far))
     # pipeline images are channel-major; viewers want (H, W, 3)
     return np.asarray(img).transpose(1, 2, 0)
 
@@ -133,7 +173,7 @@ def run_viewer(splat, port: int = 6789, trainer=None, server=None,
     show_train_cam = server.add_gui_checkbox("Show Train Camera",
                                              initial_value=False)
     fast_mode = server.add_gui_checkbox(
-        "Fast Mode (bf16)", initial_value=True)
+        "Fast Mode (bf16)", initial_value=bool(splat.cfg.fast_drawing))
     fps_text = server.add_gui_text("FPS", initial_value="-1", disabled=True)
 
     state = {"update": True, "paused": False, "iter": 0, "frustums": []}
@@ -208,10 +248,11 @@ def run_viewer(splat, port: int = 6789, trainer=None, server=None,
             cam = client.camera
             w2c = camera_to_w2c(np.asarray(cam.wxyz),
                                 np.asarray(cam.position))
-            W = int(resolution.value)
-            H = int(W / cam.aspect)
-            focal_x = W / 2 / np.tan(cam.fov / 2)
-            focal_y = H / 2 / np.tan(cam.fov / 2)
+            # ladder-quantized signature: at most one compile per rung
+            W, H, fov = snap_resolution(int(resolution.value), cam.aspect,
+                                        cam.fov)
+            focal_x = W / 2 / np.tan(fov / 2)
+            focal_y = H / 2 / np.tan(fov / 2)
             t0 = time.perf_counter()
             try:
                 img = render_offscreen(

@@ -70,6 +70,35 @@ def test_ssim_matmul_equals_conv_with_grads(pair):
     assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-6
 
 
+def test_ssim_pinned_golden_values():
+    """Pinned float64-oracle golden values on a deterministic pair.
+
+    torchmetrics is not installed in this image, so the parity contract is
+    pinned instead: torchmetrics' default SSIM (reflect-pad + conv + crop
+    the pad, torchmetrics/functional/image/ssim.py) reduces to the
+    valid-window gaussian mean these constants were generated from (float64,
+    kernel 11, sigma 1.5, k1=0.01, k2=0.03, data_range=1.0).  Any numeric
+    drift in our SSIM shows up against these even without torchmetrics."""
+    rng = np.random.default_rng(12345)
+    base = np.clip(
+        rng.uniform(0, 1, (40, 56, 3)) * 0.5
+        + np.linspace(0, 0.5, 56)[None, :, None], 0, 1).astype(np.float32)
+    noisy = np.clip(base + rng.normal(0, 0.08, base.shape),
+                    0, 1).astype(np.float32)
+    shifted = np.roll(base, 2, axis=1)
+    golden = {
+        "noisy": 0.8668903812485382,
+        "shifted": -0.0030345370466461617,
+        "identical": 1.0,
+    }
+    assert abs(float(ssim(jnp.asarray(base), jnp.asarray(noisy),
+                          data_range=1.0)) - golden["noisy"]) < 1e-5
+    assert abs(float(ssim(jnp.asarray(base), jnp.asarray(shifted),
+                          data_range=1.0)) - golden["shifted"]) < 1e-5
+    assert abs(float(ssim(jnp.asarray(base), jnp.asarray(base),
+                          data_range=1.0)) - golden["identical"]) < 1e-6
+
+
 def test_ssim_matches_torchmetrics(pair):
     tm = pytest.importorskip("torchmetrics")
     torch = pytest.importorskip("torch")
