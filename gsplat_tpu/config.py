@@ -82,6 +82,10 @@ class SplatConfig:
     # static per-column row caps for colcap (None = start at visible_rows
     # per column and let the trainer retune from observed column fills)
     col_caps: Optional[tuple] = None
+    # Sub-tile early termination: lane-axis split count for the forward
+    # kernel's saturation gate (1 = whole-tile gate, 2 = independent
+    # 128-lane halves — the CUDA per-pixel break at half-tile granularity)
+    px_split: int = 1
     # RENDER-ONLY preset: bf16 channel pairs bitcast into i32 sort payloads
     # (halves payload-sort operands) with tile-relative positions; no
     # backward — the trainer must keep this False (viewer/bench FPS paths

@@ -191,6 +191,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         weight_normalize=cfg.render_weight_normalize,
         channel_major=bool(getattr(cfg, "fused_pack", True)),
         packed_bf16=bspec.packed_bf16,
+        px_split=int(getattr(cfg, "px_split", 1)),
     )
     return bspec, rspec
 

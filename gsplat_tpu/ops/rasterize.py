@@ -69,6 +69,14 @@ class RasterSpec(NamedTuple):
     # are tile-relative and the kernel composites against tile-relative
     # pixel coordinates.  No backward.
     packed_bf16: bool = False
+    # Sub-tile early termination: split the pixel (lane) axis into this
+    # many independently-gated halves in the forward kernel.  The CUDA
+    # kernel breaks per pixel (gaussian.cu:906); chunk-level gating is
+    # all-256-pixels-or-nothing, so a tile whose left half saturates keeps
+    # paying full-plane compute for it.  2 = two 128-lane halves, each
+    # skipped once its own start-of-chunk transmittance max drops below
+    # STOP_THRESH.  Output identical to ulp level (skipped work is all-masked).
+    px_split: int = 1
 
     @property
     def px(self) -> int:
@@ -363,7 +371,7 @@ def _fwd_kernel(spec: RasterSpec,
     # per-pixel break at chunk granularity, gaussian.cu:906)
     @pl.when(active & (jnp.max(accum_ref[:]) >= STOP_THRESH))
     def _():
-        pxc, pyc = _tile_pixel_coords(spec, t)
+        pxc_full, pyc_full = _tile_pixel_coords(spec, t)
         if spec.packed_bf16:
             from gsplat_tpu.ops.binning import unpack2_bf16
 
@@ -372,21 +380,40 @@ def _fwd_kernel(spec: RasterSpec,
         else:
             g = geom_ref[:].T if spec.channel_major else geom_ref[:]
             gc = col_ref[:].T if spec.channel_major else col_ref[:]
-        alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
         gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
-        alpha = jnp.where(gidx < clen_ref[i], alpha, 0.0)
-        one_m = 1.0 - alpha
-        trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
-        live = trans >= STOP_THRESH
-        w = jnp.where(live, alpha * trans, 0.0)
-        shb = shb_ref[:] if spec.color_dim != 3 else None
-        cols = _chunk_colors(spec, gc, shb)
-        for ch in range(3):
-            color_ref[ch:ch + 1, :] += jnp.sum(w * cols[ch], axis=0,
-                                               keepdims=True)
-        accw_ref[:] += jnp.sum(w, axis=0, keepdims=True)
-        # monotone transmittance: unconditional carry == CUDA early stop
-        accum_ref[:] = trans[-1:, :] * one_m[-1:, :]
+
+        def half_body(h0, hw):
+            pxc = pxc_full[:, h0:h0 + hw]
+            pyc = pyc_full[:, h0:h0 + hw]
+            alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
+            alpha = jnp.where(gidx < clen_ref[i], alpha, 0.0)
+            one_m = 1.0 - alpha
+            trans = _cumprod_excl_sublanes(one_m) * accum_ref[0:1, h0:h0 + hw]
+            live = trans >= STOP_THRESH
+            w = jnp.where(live, alpha * trans, 0.0)
+            shb = shb_ref[:, h0:h0 + hw] if spec.color_dim != 3 else None
+            cols = _chunk_colors(spec, gc, shb)
+            for ch in range(3):
+                color_ref[ch:ch + 1, h0:h0 + hw] += jnp.sum(
+                    w * cols[ch], axis=0, keepdims=True)
+            accw_ref[0:1, h0:h0 + hw] += jnp.sum(w, axis=0, keepdims=True)
+            # monotone transmittance: unconditional carry == CUDA early stop
+            accum_ref[0:1, h0:h0 + hw] = trans[-1:, :] * one_m[-1:, :]
+
+        nsplit = max(int(spec.px_split), 1)
+        if nsplit == 1:
+            half_body(0, spec.px)
+        else:
+            # sub-tile early stop: each lane-half is gated on ITS OWN
+            # saturation, so a half that finished compositing stops paying
+            # plane compute while the other half keeps going.  Output is
+            # identical to ulp level (skipped halves contribute all-masked work).
+            hw = spec.px // nsplit
+            for s in range(nsplit):
+                @pl.when(jnp.max(accum_ref[0:1, s * hw:(s + 1) * hw])
+                         >= STOP_THRESH)
+                def _(h0=s * hw):
+                    half_body(h0, hw)
 
     @pl.when(last)
     def _():

@@ -315,3 +315,33 @@ def test_packed_bf16_sh_render(rng):
     mse = float(((f - p) ** 2).mean())
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 38, psnr
+
+
+def test_px_split_identical(rng):
+    """Sub-tile early stop (px_split=2) must not change the image beyond
+    ulp-level fusion reassociation: the per-half gates only skip work whose
+    contributions are fully masked (transmittance below STOP_THRESH is
+    monotone)."""
+    # opa_max high + many gaussians → deep tiles that actually saturate
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=300,
+                                                       opa_max=0.999)
+    a, _ = _render_fused(proj, opa, color, bspec, rspec,
+                         use_pallas=True, interpret=True)
+    b, _ = _render_fused(proj, opa, color, bspec,
+                         rspec._replace(px_split=2),
+                         use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_px_split_sh(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=80,
+                                                       color_dim=27)
+    rspec = rspec._replace(color_dim=27)
+    shv = jnp.asarray(np.random.default_rng(5).normal(0, 0.3, (4, 3)),
+                      jnp.float32)
+    a, _ = _render_fused(proj, opa, color, bspec, rspec, sh_vecs=shv,
+                         use_pallas=True, interpret=True)
+    b, _ = _render_fused(proj, opa, color, bspec,
+                         rspec._replace(px_split=2), sh_vecs=shv,
+                         use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
