@@ -62,7 +62,8 @@ def snap_resolution(width: int, aspect: float, fov: float,
 def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
                      focal_x: float, focal_y: float, interpret=False,
                      near: float | None = None, far: float | None = None,
-                     sh_order: int | None = None, fast: bool | None = None):
+                     sh_order: int | None = None, fast: bool | None = None,
+                     device_out: bool = False):
     """Render an arbitrary camera (the GUI path, splatter.py:467-487).
 
     near/far clip planes and the SH evaluation order are honoured when
@@ -134,6 +135,11 @@ def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
         jnp.asarray(rot, jnp.float32), jnp.asarray(tran, jnp.float32),
         jnp.asarray(shv, jnp.float32),
         jnp.float32(np.inf if far is None else far))
+    if device_out:
+        # async handle: dispatch returned immediately; the caller overlaps
+        # host work (JPEG encode / websocket push of the PREVIOUS frame)
+        # with this frame's device render (GUI double buffering)
+        return img
     # pipeline images are channel-major; viewers want (H, W, 3)
     return np.asarray(img).transpose(1, 2, 0)
 
@@ -176,8 +182,18 @@ def run_viewer(splat, port: int = 6789, trainer=None, server=None,
         "Fast Mode (bf16)", initial_value=bool(splat.cfg.fast_drawing))
     fps_text = server.add_gui_text("FPS", initial_value="-1", disabled=True)
 
-    state = {"update": True, "paused": False, "iter": 0, "frustums": []}
+    state = {"update": True, "paused": False, "iter": 0, "frustums": [],
+             "pending": None}  # (client, device_img) double buffer
     render_times = deque(maxlen=3)
+
+    def flush_pending():
+        """Convert + push the previous frame (overlaps its device render)."""
+        if state["pending"] is None:
+            return
+        client_, dimg = state["pending"]
+        state["pending"] = None
+        arr = np.asarray(dimg).transpose(1, 2, 0)
+        client_.set_background_image(arr.astype(np.float32), format="jpeg")
 
     for ctl in (resolution, near, far, sh_order, fast_mode):
         @ctl.on_update
@@ -241,6 +257,7 @@ def run_viewer(splat, port: int = 6789, trainer=None, server=None,
             trainer._sync_table_from_state()
             state["update"] = True
         if not state["update"]:
+            flush_pending()   # idle: drain the last double-buffered frame
             time.sleep(0.01)
             continue
         state["update"] = False
@@ -255,18 +272,22 @@ def run_viewer(splat, port: int = 6789, trainer=None, server=None,
             focal_y = H / 2 / np.tan(fov / 2)
             t0 = time.perf_counter()
             try:
-                img = render_offscreen(
+                # dispatch this frame asynchronously, then push the PREVIOUS
+                # frame while the device renders (double buffering: host
+                # JPEG/websocket time hides under device time)
+                dimg = render_offscreen(
                     splat, w2c, W, H, focal_x, focal_y,
                     near=float(near.value), far=float(far.value),
                     sh_order=int(sh_order.value),
-                    fast=bool(fast_mode.value))
+                    fast=bool(fast_mode.value), device_out=True)
+                flush_pending()
+                state["pending"] = (client, dimg)
             except Exception as e:  # parity: visergui.py:155-158
                 print(e)
                 continue
             render_times.append(time.perf_counter() - t0)
-            client.set_background_image(img.astype(np.float32),
-                                        format="jpeg")
             fps_text.value = f"{1.0 / np.mean(render_times):.3g}"
+    flush_pending()
 
 
 def _rotmat_to_quat(r: np.ndarray) -> np.ndarray:
