@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--chunk_size", type=int, default=0,
                     help="override the pallas gaussian-chunk length G "
                          "(0 = config default)")
+    ap.add_argument("--px_split", type=int, default=0,
+                    help="sub-tile early-stop lane splits in the forward "
+                         "kernel (0 = config default)")
     args = ap.parse_args()
     use_sh = bool(args.use_sh_coeff)
 
@@ -81,6 +84,8 @@ def main():
                       fused_pack=bool(args.fused_pack))
     if args.chunk_size:
         cfg.chunk_size = int(args.chunk_size)
+    if args.px_split:
+        cfg.px_split = int(args.px_split)
     tcfg = TrainConfig(ssim_weight=0.1)
     # frustum slightly wider than the view: ~60% of gaussians visible per
     # camera, matching real Garden-scene visibility (the old scene put 100%
@@ -120,7 +125,12 @@ def main():
     cfg.visible_rows = min(
         max((int(n_vis) * 135 // 100 // 4096 + 1) * 4096, 8192),
         table.capacity)
-    cfg.pair_capacity = max(int(n_pairs) * 8 // 5, 4096)
+    # slot budget = pairs + per-tile chunk-alignment pads (≈ (G-1)/2 per
+    # non-empty tile) + margin — mirrors the trainer's nc_used-based retune
+    g_ = cfg.chunk_size
+    n_tiles_ = bspec.n_tiles
+    cfg.pair_capacity = max(
+        int((int(n_pairs) + n_tiles_ * (g_ // 2)) * 1.25), 4096)
     if cfg.plane_mode == "colcap":
         cfg.col_caps = tuple(
             min(max((int(f) * 5 // 4 // 4096 + 1) * 4096, 4096),

@@ -155,14 +155,24 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         thresh = (grid.tile_geo_length_x / cfg.tile_culling_dist_thresh) ** 2
     else:
         thresh = cfg.tile_culling_prob_thresh
-    # chunk-aligned slot budget: every tile needs at least one chunk, plus
-    # room for the actual pairs (retuned from observed n_pairs)
+    # Chunk-aligned slot budget (retuned from the observed nc_used).  The
+    # fused path gives empty tiles NO chunk (their output rows are zeroed
+    # via tile_ok), so it needs no per-tile floor — at Garden scale a
+    # one-chunk-per-tile floor alone was 4.3k dead rasterizer grid steps
+    # (~26% of the grid).  The legacy bin_gaussians path writes empty
+    # tiles' rows through all-dead chunks and keeps the floor.
     g = cfg.chunk_size
-    floor = grid.n_tile_x * grid.n_tile_y * g
+    fused = bool(getattr(cfg, "fused_pack", True))
+    floor = 0 if fused else grid.n_tile_x * grid.n_tile_y * g
     if cfg.pair_capacity is not None:
         slot_cap = floor + ((int(cfg.pair_capacity) + g - 1) // g) * g
     else:
-        slot_cap = floor + ((int(capacity * cfg.pair_factor) // g) + 1) * g
+        # initial guess stays generous (alignment pads can approach a full
+        # chunk per non-empty tile on sparse scenes); the nc_used-based
+        # retune then shrinks it to the observed requirement
+        pad_guess = grid.n_tile_x * grid.n_tile_y * g if fused else 0
+        slot_cap = floor + pad_guess \
+            + ((int(capacity * cfg.pair_factor) // g) + 1) * g
     bspec = BinningSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_len_x=grid.tile_geo_length_x, tile_len_y=grid.tile_geo_length_y,
@@ -246,6 +256,11 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
         else jnp.zeros((k,), jnp.int32),
         "n_plane_clipped": binned.n_plane_clipped
         if binned.n_plane_clipped is not None else jnp.zeros((), jnp.int32),
+        # slots the scene actually needed (pairs + alignment pads) — the
+        # retune signal for slot_capacity
+        "n_slots_used": (binned.n_chunks_used * bspec.chunk_size
+                         if binned.n_chunks_used is not None
+                         else binned.n_pairs),
     }
     return img, aux
 
@@ -327,10 +342,12 @@ class Splatter:
         k = math.ceil(math.log(need / base, r) - 1e-9)
         return ((int(base * r ** k) + 4095) // 4096) * 4096
 
-    def retune_pair_capacity(self, n_pairs: int, growth: float = 1.0
+    def retune_pair_capacity(self, n_slots: int, growth: float = 1.0
                              ) -> bool:
-        """Resize the aligned-slot budget toward observed pair counts.
+        """Resize the aligned-slot budget toward the observed requirement.
 
+        ``n_slots`` is the slots actually needed last step — nc_used * G
+        (real pairs + per-tile alignment pads; aux key ``n_slots_used``).
         ``growth`` is the live-count growth factor of the current densify
         step; budgets provision for ~two more densifies of the same rate
         (growth²) so steady growth does not retrigger a recompile every
@@ -338,11 +355,12 @@ class Splatter:
         """
         bspec, _ = self.specs()
         g = self.cfg.chunk_size
-        floor = bspec.n_tiles * g
+        fused = bool(getattr(self.cfg, "fused_pack", True))
+        floor = 0 if fused else bspec.n_tiles * g
         extra = bspec.slot_capacity - floor
         gsq = max(growth, 1.0) ** 2
-        target = self._ladder(n_pairs * 1.35 * gsq)
-        if ((extra < n_pairs * 1.15 or extra > target * 2.9)
+        target = self._ladder(n_slots * 1.35 * gsq)
+        if ((extra < n_slots * 1.1 or extra > target * 2.9)
                 and target != self.cfg.pair_capacity):
             self.cfg.pair_capacity = target
             return True

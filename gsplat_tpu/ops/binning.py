@@ -134,6 +134,9 @@ class BinnedPairs(NamedTuple):
     n_vis_dropped: jnp.ndarray  # ()  visible gaussians beyond visible_rows
     col_fill: jnp.ndarray = None          # (K,) colcap column fills (unused)
     n_plane_clipped: jnp.ndarray = None   # () colcap cap overflow (unused)
+    n_chunks_used: jnp.ndarray = None     # () chunks actually needed
+                                          # (nc_used; the trainer retunes
+                                          # slot_capacity from this)
 
 
 def _tile_bbox(spec: BinningSpec, mean2d, cov2d, visible):
@@ -299,6 +302,7 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
         n_max_tiles=n_max_tiles,
         n_visible=n_visible,
         n_vis_dropped=n_vis_dropped,
+        n_chunks_used=nc_used,
     )
 
 
@@ -350,6 +354,7 @@ class PackedMeta(NamedTuple):
     # col_caps from these) and pairs lost to column caps (0 in dense mode)
     col_fill: jnp.ndarray = None          # (K,) i32
     n_plane_clipped: jnp.ndarray = None   # ()
+    n_chunks_used: jnp.ndarray = None     # () nc_used (slot retune signal)
 
 
 def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
@@ -472,6 +477,7 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
         n_vis_dropped=n_vis_dropped,
         col_fill=jnp.zeros((K,), jnp.int32),
         n_plane_clipped=jnp.zeros((), jnp.int32),
+        n_chunks_used=nc_used,
     )
     return (geom_s, colors_s), meta, (sorted_flat, inv_order, None)
 
@@ -715,6 +721,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         n_max_tiles=n_max_tiles, n_visible=n_visible,
         n_vis_dropped=n_vis_dropped,
         col_fill=m, n_plane_clipped=n_plane_clipped,
+        n_chunks_used=nc_used,
     )
     return (geom_pk, colors_pk), meta, (sorted_flat, inv_order, inv_cov)
 

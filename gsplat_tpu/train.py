@@ -145,6 +145,7 @@ def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False,
                        n_dropped=aux["n_dropped"],
                        col_fill=aux["col_fill"],
                        n_plane_clipped=aux["n_plane_clipped"],
+                       n_slots_used=aux["n_slots_used"],
                        grad_mean={k: jnp.mean(jnp.abs(grads[k]))
                                   for k in GROUP_ORDER})
         return TrainState(new_params, st.live, new_opt, accum, counter), metrics
@@ -179,7 +180,8 @@ def window_scan(loss_fn, tcfg: TrainConfig, cams, st: TrainState,
                                for k in ("n_pairs", "n_clipped",
                                          "n_max_tiles", "n_visible",
                                          "n_vis_dropped", "n_dropped",
-                                         "col_fill", "n_plane_clipped")})
+                                         "col_fill", "n_plane_clipped",
+                                         "n_slots_used")})
         new_params, new_opt = adam_update(st.params, grads, st.opt, lrs,
                                           b1, b2, eps)
         pg = jnp.abs(grads["pos"])
@@ -196,7 +198,8 @@ def window_scan(loss_fn, tcfg: TrainConfig, cams, st: TrainState,
                        n_vis_dropped=aux["n_vis_dropped"],
                        n_dropped=aux["n_dropped"],
                        col_fill=aux["col_fill"],
-                       n_plane_clipped=aux["n_plane_clipped"])
+                       n_plane_clipped=aux["n_plane_clipped"],
+                       n_slots_used=aux["n_slots_used"])
         return (TrainState(new_params, st.live, new_opt, accum, counter),
                 metrics)
 
@@ -207,7 +210,7 @@ def window_scan(loss_fn, tcfg: TrainConfig, cams, st: TrainState,
     # step
     maxed = {"n_pairs", "n_clipped", "n_max_tiles", "n_visible",
              "n_vis_dropped", "n_dropped", "n_plane_clipped",
-             "col_fill"}
+             "col_fill", "n_slots_used"}
     out = {k: (jnp.max(v, axis=0) if k in maxed else
                jax.tree.map(lambda x: x[-1], v))
            for k, v in ms.items()}
@@ -544,7 +547,8 @@ class Trainer:
             # (a recompile costs minutes on remote-attached TPUs)
             growth = int(self.splat.table.n_live) / n_live_before
             retuned = self.splat.retune_pair_capacity(
-                int(self._last_metrics["n_pairs"]), growth)
+                int(self._last_metrics.get(
+                    "n_slots_used", self._last_metrics["n_pairs"])), growth)
             retuned = self.splat.retune_visible_rows(
                 int(self._last_metrics["n_visible"]), growth) or retuned
             retuned = self.splat.retune_col_caps(
@@ -724,7 +728,8 @@ class Trainer:
             if (int(m.get("n_dropped", 0)) > 0
                     or int(m.get("n_vis_dropped", 0)) > 0
                     or int(m.get("n_plane_clipped", 0)) > 0):
-                retuned = self.splat.retune_pair_capacity(int(m["n_pairs"]))
+                retuned = self.splat.retune_pair_capacity(
+                    int(m.get("n_slots_used", m["n_pairs"])))
                 retuned = self.splat.retune_visible_rows(
                     int(m["n_visible"])) or retuned
                 retuned = self.splat.retune_col_caps(
