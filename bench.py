@@ -101,45 +101,15 @@ def main():
     # the trainer resizes visible_rows / pair_capacity from observed
     # n_visible / n_pairs at densify boundaries (models/splatter.py);
     # benching the trained regime requires the same specs
-    from gsplat_tpu.ops.projection import project_gaussians
-    from gsplat_tpu.ops.binning import _tile_bbox
+    from gsplat_tpu.synthetic import tune_budgets
 
-    kmax = bspec.max_tiles_per_gaussian
-
-    @jax.jit
-    def observe(params, live):
-        proj = project_gaussians(
-            params["pos"], params["quat"], params["scale"],
-            cams["w2c_rot"][0], cams["w2c_tran"][0], cfg.near,
-            grid.width * 1.2 / 2 / focal, grid.height * 1.2 / 2 / focal,
-            cfg.scale_activation)
-        vis = proj.visible & live
-        _, _, rw, rh = _tile_bbox(bspec, proj.mean2d, proj.cov2d, vis)
-        cov = jnp.minimum(rw * rh, kmax)
-        fills = jnp.stack([jnp.sum(cov > k) for k in range(kmax)])
-        return jnp.sum(vis), jnp.sum(cov), fills
-
-    n_vis, n_pairs, fills = jax.device_get(observe(table.params(),
-                                                   table.live))
-    # same formulas as the Splatter.retune_* controllers
-    cfg.visible_rows = min(
-        max((int(n_vis) * 135 // 100 // 4096 + 1) * 4096, 8192),
-        table.capacity)
-    # slot budget = pairs + per-tile chunk-alignment pads (≈ (G-1)/2 per
-    # non-empty tile) + margin — mirrors the trainer's nc_used-based retune
-    g_ = cfg.chunk_size
-    n_tiles_ = bspec.n_tiles
-    cfg.pair_capacity = max(
-        int((int(n_pairs) + n_tiles_ * (g_ // 2)) * 1.25), 4096)
-    if cfg.plane_mode == "colcap":
-        cfg.col_caps = tuple(
-            min(max((int(f) * 5 // 4 // 4096 + 1) * 4096, 4096),
-                cfg.visible_rows) for f in fills)
+    n_vis, n_pairs, _fills = tune_budgets(cfg, table, cams, grid, bspec)
     bspec, rspec = make_specs(grid, table.capacity, cfg,
                               27 if use_sh else 3)
-    print(f"# tuned: n_visible={int(n_vis)} n_pairs={int(n_pairs)} "
+    print(f"# tuned: n_visible={n_vis} n_pairs={n_pairs} "
           f"visible_rows={cfg.visible_rows} slot_cap={bspec.slot_capacity} "
-          f"col_caps={list(bspec.col_caps)}", flush=True)
+          f"NC={bspec.num_chunks} col_caps={list(bspec.col_caps)}",
+          flush=True)
 
     # ---------------- render FPS (scan over frames, one dispatch) -------
     def frames_fn(k, cfg_=None, bspec_=None, rspec_=None):

@@ -110,3 +110,47 @@ def synthetic_cameras(m: int, width: int, height: int, focal: float,
         "images": images,
         "grid": grid,
     }
+
+
+def tune_budgets(cfg, table, cams, grid, bspec):
+    """Mirror the trainer's budget retunes for a synthetic scene: set
+    cfg.visible_rows / pair_capacity / col_caps from one observed view so
+    benches and traces run the TRAINED spec regime, not the generous
+    initial one.  Returns (n_visible, n_pairs, fills)."""
+    import jax
+
+    from gsplat_tpu.ops.binning import _tile_bbox
+    from gsplat_tpu.ops.projection import project_gaussians
+
+    kmax = bspec.max_tiles_per_gaussian
+
+    @jax.jit
+    def observe(params, live):
+        proj = project_gaussians(
+            params["pos"], params["quat"], params["scale"],
+            cams["w2c_rot"][0], cams["w2c_tran"][0], cfg.near,
+            grid.width * 1.2 / 2 / grid.focal_x,
+            grid.height * 1.2 / 2 / grid.focal_y,
+            cfg.scale_activation)
+        vis = proj.visible & live
+        _, _, rw, rh = _tile_bbox(bspec, proj.mean2d, proj.cov2d, vis)
+        cov = jnp.minimum(rw * rh, kmax)
+        fills = jnp.stack([jnp.sum(cov > k) for k in range(kmax)])
+        return jnp.sum(vis), jnp.sum(cov), fills
+
+    import jax as _jax
+    n_vis, n_pairs, fills = _jax.device_get(
+        observe(table.params(), table.live))
+    cfg.visible_rows = min(
+        max((int(n_vis) * 135 // 100 // 4096 + 1) * 4096, 8192),
+        table.capacity)
+    # slots = pairs + ~(G/2) alignment pad per tile + margin (the trainer's
+    # nc_used-based retune equivalent, estimated from one view)
+    g = cfg.chunk_size
+    cfg.pair_capacity = max(
+        int((int(n_pairs) + bspec.n_tiles * (g // 2)) * 1.25), 4096)
+    if cfg.plane_mode == "colcap":
+        cfg.col_caps = tuple(
+            min(max((int(f) * 5 // 4 // 4096 + 1) * 4096, 4096),
+                cfg.visible_rows) for f in fills)
+    return int(n_vis), int(n_pairs), [int(f) for f in fills]
