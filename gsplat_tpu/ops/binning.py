@@ -681,16 +681,24 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                          sent).reshape(T * padw)
 
     # ---- the payload sort: channels ride the sort -----------------------
+    # (sort cost is per-OPERAND on TPU; the render-only packed_bf16 preset
+    # drops the `flat` backward-map payload entirely — its backward is
+    # NotImplemented anyway)
     chan_dtype = jnp.int32 if spec.packed_bf16 else jnp.float32
     zpad = jnp.zeros((T * padw,), chan_dtype)
     key_full = jnp.concatenate([pair_key, pad_keys])
-    flat_full = jnp.concatenate(
-        [jnp.concatenate(flat_parts),
-         jnp.full((T * padw,), P, jnp.int32)])
-    ops = (key_full, flat_full) + tuple(
-        jnp.concatenate(parts + [zpad]) for parts in chan_parts)
+    if spec.packed_bf16:
+        ops = (key_full,) + tuple(
+            jnp.concatenate(parts + [zpad]) for parts in chan_parts)
+        base = 1
+    else:
+        flat_full = jnp.concatenate(
+            [jnp.concatenate(flat_parts),
+             jnp.full((T * padw,), P, jnp.int32)])
+        ops = (key_full, flat_full) + tuple(
+            jnp.concatenate(parts + [zpad]) for parts in chan_parts)
+        base = 2
     out = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    sorted_flat = out[1]
 
     def fit(a, fill=0):
         if p_tot < L:
@@ -700,19 +708,20 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
 
     zcol = jnp.zeros((S,), chan_dtype)
     if spec.packed_bf16:
-        geom_pk = jnp.stack([fit(out[2 + j]) for j in range(4)], axis=0)
+        sorted_flat = jnp.zeros((1,), jnp.int32)  # no backward route
+        geom_pk = jnp.stack([fit(out[base + j]) for j in range(4)], axis=0)
         colors_pk = jnp.stack(
-            [fit(out[6 + j]) for j in range(c8 // 2)], axis=0)
+            [fit(out[base + 4 + j]) for j in range(c8 // 2)], axis=0)
     else:
+        sorted_flat = out[1]
         geom_pk = jnp.stack(
-            [fit(out[2 + j]) for j in range(7)] + [zcol], axis=0)
+            [fit(out[base + j]) for j in range(7)] + [zcol], axis=0)
         colors_pk = jnp.stack(
-            [fit(out[9 + j]) for j in range(c_cols)] + [zcol] * c_pad,
+            [fit(out[base + 7 + j]) for j in range(c_cols)] + [zcol] * c_pad,
             axis=0)
-
-    if p_tot < L:
-        sorted_flat = jnp.concatenate(
-            [sorted_flat, jnp.full((L - p_tot,), P, jnp.int32)])
+        if p_tot < L:
+            sorted_flat = jnp.concatenate(
+                [sorted_flat, jnp.full((L - p_tot,), P, jnp.int32)])
 
     meta = PackedMeta(
         chunk_tile=chunk_tile, chunk_first=chunk_first,
