@@ -453,102 +453,128 @@ def _bwd_kernel(spec: RasterSpec,
 
     @pl.when(do_compute)
     def _():
-        pxc, pyc = _tile_pixel_coords(spec, t)
+        pxc_full, pyc_full = _tile_pixel_coords(spec, t)
         g_in = geom_ref[:].T if spec.channel_major else geom_ref[:]
         gc_in = col_ref[:].T if spec.channel_major else col_ref[:]
-        alpha, prob, aux = _chunk_alpha(spec, pxc, pyc, g_in)
-        dx, dy, a, b, c, d, opa, pm, pn = aux
         gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
         slot_ok = gidx < clen_ref[i]
-        alpha = jnp.where(slot_ok, alpha, 0.0)
-        one_m = 1.0 - alpha
-        trans = _cumprod_excl_sublanes(one_m) * accum_ref[:]
-        live = trans >= STOP_THRESH
-        w = jnp.where(live, alpha * trans, 0.0)
-        shb = shb_ref[:] if spec.color_dim != 3 else None
-        cols = _chunk_colors(spec, gc_in, shb)
+        nsplit = max(int(spec.px_split), 1)
 
-        # suffix-color identity for d_alpha (gaussian.cu:709-722):
-        # d_alpha = Σ_c g_c·color_g,c·T_g − Σ_c g_c·(out_c − C_incl,c)/(1−α)
-        # Contracting with the pixel gradient FIRST collapses the three
-        # per-channel cumulative sums into one scan:
-        #   Σ_c g_c·C_incl,c = Σ_c g_c·carry_c + cumsum(w·Σ_c g_c·color_c)
-        gc_dot = jnp.zeros((g_dim, spec.px), jnp.float32)
-        gdotout = jnp.zeros((1, spec.px), jnp.float32)
-        carry_gdot = jnp.zeros((1, spec.px), jnp.float32)
-        chunk_color_rows = []
-        for ch in range(3):
-            gout_c = grad_img_ref[0, ch:ch + 1, :]  # (1, Px)
-            gc_dot += gout_c * cols[ch]
-            gdotout += gout_c * out_img_ref[0, ch:ch + 1, :]
-            carry_gdot += gout_c * ccarry_ref[ch:ch + 1, :]
-            chunk_color_rows.append(jnp.sum(w * cols[ch], axis=0,
-                                            keepdims=True))
-        # accw = Σ_g w_g is a 4th composited channel with color ≡ 1 (output
-        # row 3); its cotangent — nonzero on the weight_normalize path —
-        # rides the same suffix-color identity
-        gout_w = grad_img_ref[0, 3:4, :]
-        gc_dot += gout_w
-        gdotout += gout_w * out_img_ref[0, 3:4, :]
-        carry_gdot += gout_w * ccarry_ref[3:4, :]
-        chunk_color_rows.append(jnp.sum(w, axis=0, keepdims=True))
-        c_incl_dot = carry_gdot + _cumsum_incl_sublanes(w * gc_dot)
-        d_alpha = gc_dot * trans \
-            - (gdotout - c_incl_dot) / (one_m + ALPHA_EPS)
-        d_alpha = jnp.where(live & slot_ok, d_alpha, 0.0)
-        # no gradient through the degenerate-numerics alpha clamp
-        d_alpha = jnp.where(prob * opa < 0.9999, d_alpha, 0.0)
+        def half_body(h0, hw, accumulate):
+            alpha, prob, aux = _chunk_alpha(
+                spec, pxc_full[:, h0:h0 + hw], pyc_full[:, h0:h0 + hw], g_in)
+            dx, dy, a, b, c, d, opa, pm, pn = aux
+            alpha = jnp.where(slot_ok, alpha, 0.0)
+            one_m = 1.0 - alpha
+            trans = _cumprod_excl_sublanes(one_m) \
+                * accum_ref[0:1, h0:h0 + hw]
+            live = trans >= STOP_THRESH
+            w = jnp.where(live, alpha * trans, 0.0)
+            shb = shb_ref[:, h0:h0 + hw] if spec.color_dim != 3 else None
+            cols = _chunk_colors(spec, gc_in, shb)
 
-        d_opa = jnp.sum(d_alpha * prob, axis=1, keepdims=True)      # (G, 1)
-        d_prob = d_alpha * opa
-
-        # 2D-gaussian analytic gradients (gaussian.cu:610-634)
-        inv_pn2 = 1.0 / (pn * pn)
-        dp_da = prob * ((-dy * dy) * pn - (2.0 * d) * pm) * inv_pn2
-        dp_db = prob * ((dx * dy) * pn - (-2.0 * c) * pm) * inv_pn2
-        dp_dc = prob * ((dx * dy) * pn - (-2.0 * b) * pm) * inv_pn2
-        dp_dd = prob * ((-dx * dx) * pn - (2.0 * a) * pm) * inv_pn2
-        dp_dx = prob / pn * (2.0 * d * dx - (b + c) * dy)
-        dp_dy = prob / pn * (2.0 * a * dy - (b + c) * dx)
-
-        zero_col = jnp.zeros((g_dim, 1), jnp.float32)
-        gg_out = jnp.concatenate([
-            jnp.sum(d_prob * dp_dx, axis=1, keepdims=True),
-            jnp.sum(d_prob * dp_dy, axis=1, keepdims=True),
-            jnp.sum(d_prob * dp_da, axis=1, keepdims=True),
-            jnp.sum(d_prob * dp_db, axis=1, keepdims=True),
-            jnp.sum(d_prob * dp_dc, axis=1, keepdims=True),
-            jnp.sum(d_prob * dp_dd, axis=1, keepdims=True),
-            d_opa,
-            zero_col,
-        ], axis=1)
-        grad_geom_ref[:] = gg_out.T if spec.channel_major else gg_out
-        col_out = []
-        if spec.color_dim == 3:
+            # suffix-color identity for d_alpha (gaussian.cu:709-722):
+            # d_alpha = Σ_c g_c·color_g,c·T_g − Σ_c g_c·(out_c−C_incl,c)/(1−α)
+            # Contracting with the pixel gradient FIRST collapses the three
+            # per-channel cumulative sums into one scan:
+            #   Σ_c g_c·C_incl,c = Σ_c g_c·carry_c + cumsum(w·Σ_c g_c·color_c)
+            gc_dot = jnp.zeros((g_dim, hw), jnp.float32)
+            gdotout = jnp.zeros((1, hw), jnp.float32)
+            carry_gdot = jnp.zeros((1, hw), jnp.float32)
+            chunk_color_rows = []
             for ch in range(3):
-                col_out.append(jnp.sum(grad_img_ref[0, ch:ch + 1, :] * w,
-                                       axis=1, keepdims=True))
+                gout_c = grad_img_ref[0, ch:ch + 1, h0:h0 + hw]  # (1, hw)
+                gc_dot += gout_c * cols[ch]
+                gdotout += gout_c * out_img_ref[0, ch:ch + 1, h0:h0 + hw]
+                carry_gdot += gout_c * ccarry_ref[ch:ch + 1, h0:h0 + hw]
+                chunk_color_rows.append(jnp.sum(w * cols[ch], axis=0,
+                                                keepdims=True))
+            # accw = Σ_g w_g is a 4th composited channel with color ≡ 1
+            # (output row 3); its cotangent — nonzero on the
+            # weight_normalize path — rides the same suffix-color identity
+            gout_w = grad_img_ref[0, 3:4, h0:h0 + hw]
+            gc_dot += gout_w
+            gdotout += gout_w * out_img_ref[0, 3:4, h0:h0 + hw]
+            carry_gdot += gout_w * ccarry_ref[3:4, h0:h0 + hw]
+            chunk_color_rows.append(jnp.sum(w, axis=0, keepdims=True))
+            c_incl_dot = carry_gdot + _cumsum_incl_sublanes(w * gc_dot)
+            d_alpha = gc_dot * trans \
+                - (gdotout - c_incl_dot) / (one_m + ALPHA_EPS)
+            d_alpha = jnp.where(live & slot_ok, d_alpha, 0.0)
+            # no gradient through the degenerate-numerics alpha clamp
+            d_alpha = jnp.where(prob * opa < 0.9999, d_alpha, 0.0)
+
+            d_opa = jnp.sum(d_alpha * prob, axis=1, keepdims=True)  # (G, 1)
+            d_prob = d_alpha * opa
+
+            # 2D-gaussian analytic gradients (gaussian.cu:610-634)
+            inv_pn2 = 1.0 / (pn * pn)
+            dp_da = prob * ((-dy * dy) * pn - (2.0 * d) * pm) * inv_pn2
+            dp_db = prob * ((dx * dy) * pn - (-2.0 * c) * pm) * inv_pn2
+            dp_dc = prob * ((dx * dy) * pn - (-2.0 * b) * pm) * inv_pn2
+            dp_dd = prob * ((-dx * dx) * pn - (2.0 * a) * pm) * inv_pn2
+            dp_dx = prob / pn * (2.0 * d * dx - (b + c) * dy)
+            dp_dy = prob / pn * (2.0 * a * dy - (b + c) * dx)
+
+            zero_col = jnp.zeros((g_dim, 1), jnp.float32)
+            gg_out = jnp.concatenate([
+                jnp.sum(d_prob * dp_dx, axis=1, keepdims=True),
+                jnp.sum(d_prob * dp_dy, axis=1, keepdims=True),
+                jnp.sum(d_prob * dp_da, axis=1, keepdims=True),
+                jnp.sum(d_prob * dp_db, axis=1, keepdims=True),
+                jnp.sum(d_prob * dp_dc, axis=1, keepdims=True),
+                jnp.sum(d_prob * dp_dd, axis=1, keepdims=True),
+                d_opa,
+                zero_col,
+            ], axis=1)
+            col_out = []
+            if spec.color_dim == 3:
+                for ch in range(3):
+                    col_out.append(jnp.sum(
+                        grad_img_ref[0, ch:ch + 1, h0:h0 + hw] * w,
+                        axis=1, keepdims=True))
+            else:
+                for ch in range(3):
+                    # d logits = g_c · w · σ(1−σ); d coeff = d logits @ SHᵀ
+                    dlog = grad_img_ref[0, ch:ch + 1, h0:h0 + hw] * w \
+                        * cols[ch] * (1.0 - cols[ch])   # (G, hw)
+                    dcoef = jax.lax.dot_general(
+                        dlog, shb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                   # (G, 9)
+                    col_out.append(dcoef)
+            gcol = jnp.concatenate(col_out, axis=1)
+            pad = spec.c_col - gcol.shape[1]
+            if pad:
+                gcol = jnp.concatenate(
+                    [gcol, jnp.zeros((g_dim, pad), jnp.float32)], axis=1)
+            gg_w = gg_out.T if spec.channel_major else gg_out
+            gc_w = gcol.T if spec.channel_major else gcol
+            if accumulate:
+                grad_geom_ref[:] += gg_w
+                grad_col_ref[:] += gc_w
+            else:
+                grad_geom_ref[:] = gg_w
+                grad_col_ref[:] = gc_w
+
+            for ch in range(4):
+                ccarry_ref[ch:ch + 1, h0:h0 + hw] += chunk_color_rows[ch]
+            accum_ref[0:1, h0:h0 + hw] = trans[-1:, :] * one_m[-1:, :]
+
+        if nsplit == 1:
+            half_body(0, spec.px, accumulate=False)
         else:
-            for ch in range(3):
-                # d logits = g_c · w · σ(1−σ); d coeff = d logits @ SHᵀ
-                dlog = grad_img_ref[0, ch:ch + 1, :] * w * cols[ch] \
-                    * (1.0 - cols[ch])              # (G, Px)
-                dcoef = jax.lax.dot_general(
-                    dlog, shb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                   # (G, 9)
-                col_out.append(dcoef)
-        gcol = jnp.concatenate(col_out, axis=1)
-        pad = spec.c_col - gcol.shape[1]
-        if pad:
-            gcol = jnp.concatenate(
-                [gcol, jnp.zeros((g_dim, pad), jnp.float32)], axis=1)
-        grad_col_ref[:] = gcol.T if spec.channel_major else gcol
-
-        for ch in range(4):
-            ccarry_ref[ch:ch + 1, :] += chunk_color_rows[ch]
-        accum_ref[:] = trans[-1:, :] * one_m[-1:, :]
+            # sub-tile gating (see _fwd_kernel): halves accumulate into the
+            # per-gaussian gradient blocks, so zero them first
+            grad_geom_ref[:] = jnp.zeros(grad_geom_ref.shape, jnp.float32)
+            grad_col_ref[:] = jnp.zeros(grad_col_ref.shape, jnp.float32)
+            hw = spec.px // nsplit
+            for s_ in range(nsplit):
+                @pl.when(jnp.max(accum_ref[0:1, s_ * hw:(s_ + 1) * hw])
+                         >= STOP_THRESH)
+                def _(h0=s_ * hw):
+                    half_body(h0, hw, accumulate=True)
 
 
 def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,

@@ -345,3 +345,26 @@ def test_px_split_sh(rng):
                          rspec._replace(px_split=2), sh_vecs=shv,
                          use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_px_split_grads_match(rng):
+    """Backward sub-tile gating must reproduce the ungated gradients
+    (tolerances allow half-width reduction-tree reassociation: both modes
+    sit ~2e-4 from the jnp oracle on this scene, and each other within
+    the same band)."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=200,
+                                                       opa_max=0.999)
+
+    def loss(rs):
+        def f(opa_, color_):
+            img, _ = _render_fused(proj, opa_, color_, bspec, rs,
+                                   use_pallas=True, interpret=True)
+            return jnp.sum(img ** 2 * jnp.cos(img))
+        return f
+
+    g1 = jax.grad(loss(rspec), argnums=(0, 1))(opa, color)
+    g2 = jax.grad(loss(rspec._replace(px_split=2)), argnums=(0, 1))(
+        opa, color)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-5)
