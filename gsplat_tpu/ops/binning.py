@@ -173,6 +173,34 @@ def _tile_bbox(spec: BinningSpec, mean2d, cov2d, visible):
     return x0, y0, rw, rh
 
 
+def _tile_bbox_rows(spec: BinningSpec, cx, cy, a, b, c, d, visible):
+    """:func:`_tile_bbox` on channel-major rows ((V,) arrays) — all
+    elementwise, no strided column slices."""
+    det = a * d - b * c
+    det_ok = det > 0
+    if spec.method in ("prob2", "prob"):
+        log_t = -2.0 * math.log(spec.thresh)
+        shift_x = jnp.sqrt(jnp.maximum(a * log_t, 0.0))
+        shift_y = jnp.sqrt(jnp.maximum(d * log_t, 0.0))
+    else:  # "dist"
+        r = math.sqrt(spec.thresh)
+        shift_x = jnp.full_like(a, r)
+        shift_y = jnp.full_like(a, r)
+        det_ok = jnp.ones_like(det_ok)
+    x0 = jnp.floor((cx - shift_x - spec.leftmost) / spec.tile_len_x)
+    x1 = jnp.floor((cx + shift_x - spec.leftmost) / spec.tile_len_x) + 1.0
+    y0 = jnp.floor((cy - shift_y - spec.topmost) / spec.tile_len_y)
+    y1 = jnp.floor((cy + shift_y - spec.topmost) / spec.tile_len_y) + 1.0
+    x0 = jnp.clip(x0, 0, spec.n_tile_x).astype(jnp.int32)
+    x1 = jnp.clip(x1, 0, spec.n_tile_x).astype(jnp.int32)
+    y0 = jnp.clip(y0, 0, spec.n_tile_y).astype(jnp.int32)
+    y1 = jnp.clip(y1, 0, spec.n_tile_y).astype(jnp.int32)
+    valid = visible & det_ok
+    rw = jnp.where(valid, jnp.maximum(x1 - x0, 0), 0)
+    rh = jnp.where(valid, jnp.maximum(y1 - y0, 0), 0)
+    return x0, y0, rw, rh
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
     """Projected gaussians → chunk-aligned per-tile depth-sorted pair lists."""
@@ -443,9 +471,13 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
         return jnp.concatenate(
             [jnp.broadcast_to(col[:, None], (V, K)).reshape(P), zpad])
 
+    # channel-major transpose once; per-channel reads become contiguous
+    # rows (minor-axis column slices at V scale are strided relayouts)
+    geom_t = geom_o.T                                      # (8, V)
+    color_t = color_o.T                                    # (c, V)
     ops = (key_full, flat_full) \
-        + tuple(plane(geom_o[:, j]) for j in range(7)) \
-        + tuple(plane(color_o[:, j]) for j in range(c_cols))
+        + tuple(plane(geom_t[j]) for j in range(7)) \
+        + tuple(plane(color_t[j]) for j in range(c_cols))
     out = jax.lax.sort(ops, num_keys=1, is_stable=True)
     sorted_flat = out[1]
 
@@ -584,7 +616,15 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     geom_s = jnp.take(geom_o, cov_order, axis=0)
     color_s = jnp.take(color_o, cov_order, axis=0)
     vis_s = jnp.take(vis_o, cov_order, axis=0)
-    x0, y0, rw, rh = _tile_bbox(spec, geom_s[:, 0:2], geom_s[:, 2:6], vis_s)
+    # ONE transpose to channel-major: every per-column channel read below
+    # becomes a contiguous row slice.  Minor-axis column slices of the
+    # (V, 8)/(V, c) gathered blocks are strided relayouts — K columns x
+    # (7 + c) channels of them dominated the plane-build tail.
+    geom_t = geom_s.T                                      # (8, V)
+    color_t = color_s.T                                    # (c, V)
+    x0, y0, rw, rh = _tile_bbox_rows(
+        spec, geom_t[0], geom_t[1], geom_t[2], geom_t[3], geom_t[4],
+        geom_t[5], vis_s)
     rank = cov_order                                       # depth rank
 
     # ---- per-column candidate slices ------------------------------------
@@ -612,8 +652,8 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         if spec.method == "dist":
             tcx = spec.leftmost + (x0[:cpk] + kx + 0.5) * spec.tile_len_x
             tcy = spec.topmost + (y0[:cpk] + ky + 0.5) * spec.tile_len_y
-            d2 = ((geom_s[:cpk, 0] - tcx) ** 2
-                  + (geom_s[:cpk, 1] - tcy) ** 2)
+            d2 = ((geom_t[0, :cpk] - tcx) ** 2
+                  + (geom_t[1, :cpk] - tcy) ** 2)
             valid_k = valid_k & (d2 < spec.thresh)
         key_k = jnp.where(
             valid_k,
@@ -625,19 +665,19 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                                    + 0.5) * spec.tile_len_x
             tcy = spec.topmost + ((y0[:cpk] + ky).astype(jnp.float32)
                                   + 0.5) * spec.tile_len_y
-            gs = geom_s[:cpk]
             zero = jnp.zeros((cpk,), jnp.float32)
-            hi = [gs[:, 0] - tcx, gs[:, 1] - tcy, gs[:, 2], gs[:, 3]]
-            lo = [gs[:, 4], gs[:, 5], gs[:, 6], zero]
+            hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
+                  geom_t[2, :cpk], geom_t[3, :cpk]]
+            lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[6, :cpk], zero]
             rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
-            cs = color_s[:cpk]
             half = c8 // 2
-            ccol = [cs[:, j] if j < c_cols else zero for j in range(c8)]
+            ccol = [color_t[j, :cpk] if j < c_cols else zero
+                    for j in range(c8)]
             rows += [_pack2_bf16(ccol[j], ccol[half + j])
                      for j in range(half)]
         else:
-            rows = [geom_s[:cpk, j] for j in range(7)] \
-                + [color_s[:cpk, j] for j in range(c_cols)]
+            rows = [geom_t[j, :cpk] for j in range(7)] \
+                + [color_t[j, :cpk] for j in range(c_cols)]
         for ci, col in enumerate(rows):
             chan_parts[ci].append(col)
         n_plane_clipped += jnp.maximum(m[k] - cpk, 0)

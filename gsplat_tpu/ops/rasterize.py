@@ -677,9 +677,11 @@ def _raster_pallas(spec: RasterSpec, interpret, packed, sh_vecs, chunk_tile,
     tiles, accw = _raster_fwd_pallas(spec, packed, sh_vecs, chunk_tile,
                                      chunk_first, chunk_last, chunk_len,
                                      interpret)
-    # row n_tiles is the dead-chunk sentinel; the kernel never writes it
-    return (tiles[:, :3, :].at[spec.n_tiles].set(0.0),
-            accw.at[spec.n_tiles].set(0.0))
+    # RAW outputs: the dead-chunk sentinel row (and any truncated tile's
+    # rows) are never written by the kernel — the caller masks with tile_ok
+    # (composite_chunks_pallas), one fused select instead of a scatter +
+    # select chain per output
+    return tiles[:, :3, :], accw
 
 
 def _raster_pallas_fwd(spec, interpret, packed, sh_vecs, chunk_tile,
@@ -689,8 +691,7 @@ def _raster_pallas_fwd(spec, interpret, packed, sh_vecs, chunk_tile,
                                      interpret)
     res = (packed, sh_vecs, chunk_tile, chunk_first, chunk_last, chunk_len,
            tile_ok, tiles)
-    return (tiles[:, :3, :].at[spec.n_tiles].set(0.0),
-            accw.at[spec.n_tiles].set(0.0)), res
+    return (tiles[:, :3, :], accw), res
 
 
 def _raster_pallas_bwd(spec, interpret, res, grads):
@@ -708,11 +709,12 @@ def _raster_pallas_bwd(spec, interpret, res, grads):
     # from a never-written row would poison grads of gaussians shared with
     # healthy tiles.  Zero both operands for non-ok rows before the kernel.
     out_tiles = jnp.where(tile_ok[:, None, None], out_tiles, 0.0)
-    g_full = jnp.zeros((n_rows, 8, spec.px), jnp.float32)
-    g_full = g_full.at[:, :3, :].set(g_tiles)
-    # accw cotangent (nonzero when weight normalization — applied outside in
-    # assemble_image — backprops through the Σw channel, output row 3)
-    g_full = g_full.at[:, 3, :].set(g_accw)
+    # rows 0-2: color cotangent; row 3: accw cotangent (nonzero when weight
+    # normalization backprops through the Σw channel); rows 4-7 unused.
+    # Concatenate instead of scatters-into-zeros (cheaper relayout).
+    g_full = jnp.concatenate(
+        [g_tiles, g_accw[:, None, :],
+         jnp.zeros((n_rows, 4, spec.px), jnp.float32)], axis=1)
     g_full = jnp.where(tile_ok[:, None, None], g_full, 0.0)
     grad_packed = _raster_bwd_pallas(
         spec, packed, sh_vecs, chunk_tile, chunk_first, chunk_last,
@@ -732,17 +734,24 @@ def composite_chunks_pallas(packed, chunk_tile, chunk_first, chunk_last,
     """Pallas counterpart of :func:`composite_chunks_jnp` (same contract).
 
     ``tile_ok`` ((T+1,) bool) marks tiles whose output rows the forward
-    kernel fully writes; pass it whenever gradients flow so the backward can
-    zero never-written rows (defaults to all-True for fits-in-budget use).
+    kernel fully writes; their outputs are masked to zero here (the kernel
+    leaves truncated/empty tiles and the sentinel row unwritten), and the
+    backward zeroes the same rows before its kernel.  Defaults to all tiles
+    ok + sentinel row False (fits-in-budget use).
     """
     if sh_vecs is None:
         sh_vecs = jnp.zeros((4, 3), jnp.float32)
     if tile_ok is None:
-        tile_ok = jnp.ones((spec.n_tiles + 1,), jnp.bool_)
+        tile_ok = jnp.concatenate(
+            [jnp.ones((spec.n_tiles,), jnp.bool_),
+             jnp.zeros((1,), jnp.bool_)])
     chunk_first = chunk_first.astype(jnp.int32)
     chunk_last = chunk_last.astype(jnp.int32)
-    return _raster_pallas(spec, interpret, packed, sh_vecs, chunk_tile,
-                          chunk_first, chunk_last, chunk_len, tile_ok)
+    tiles_color, accw = _raster_pallas(
+        spec, interpret, packed, sh_vecs, chunk_tile, chunk_first,
+        chunk_last, chunk_len, tile_ok)
+    return (jnp.where(tile_ok[:, None, None], tiles_color, 0.0),
+            jnp.where(tile_ok[:, None], accw, 0.0))
 
 
 def rasterize(packed, binned, spec: RasterSpec, sh_vecs=None,
@@ -759,9 +768,10 @@ def rasterize(packed, binned, spec: RasterSpec, sh_vecs=None,
             packed, binned.chunk_tile, binned.chunk_first, binned.chunk_len,
             spec, sh_vecs,
         )
-    # zero tiles truncated by the chunk budget (n_dropped > 0) or — on the
-    # fused path — empty tiles: the pallas kernel never (fully) writes
-    # their output rows, so they hold garbage / partial composites
-    tiles_color = jnp.where(binned.tile_ok[:, None, None], tiles_color, 0.0)
-    tiles_accw = jnp.where(binned.tile_ok[:, None], tiles_accw, 0.0)
+        # truncated tiles hold PARTIAL composites on the jnp path; zero
+        # them to match the fail-safe contract (the pallas path masks
+        # inside composite_chunks_pallas)
+        tiles_color = jnp.where(binned.tile_ok[:, None, None],
+                                tiles_color, 0.0)
+        tiles_accw = jnp.where(binned.tile_ok[:, None], tiles_accw, 0.0)
     return assemble_image(tiles_color, tiles_accw, spec)
