@@ -856,8 +856,11 @@ def _pack_sorted_bwd(spec, residuals, cts):
             return col[:P].reshape(V, K).sum(axis=1)
 
     rows = [reduce_rows(c) for c in out[1:]]
-    g_geom_rows = jnp.stack(rows[:7] + [jnp.zeros((V,), jnp.float32)], axis=1)
-    g_color_rows = jnp.stack(rows[7:], axis=1)
+    # axis-0 stack (contiguous) + one tiled transpose instead of a minor-
+    # axis interleave stack (measured ~47 ms per 2.3M rows, PERF.md)
+    g_geom_rows = jnp.stack(
+        rows[:7] + [jnp.zeros((V,), jnp.float32)], axis=0).T
+    g_color_rows = jnp.stack(rows[7:], axis=0).T
     if spec.plane_mode == "colcap":
         # plane rows are in coverage order — restore depth order first
         g_geom_rows = jnp.take(g_geom_rows, inv_cov, axis=0)
