@@ -558,7 +558,15 @@ class Trainer:
             n_clip = int(self._last_metrics.get("n_clipped", 0))
             n_pairs = max(int(self._last_metrics["n_pairs"]), 1)
             if n_clip > 0.005 * n_pairs:
-                self.splat.cfg.max_tiles_per_gaussian += 2
+                # geometric K growth (x1.5, rounded even, observed-coverage
+                # floor): each K change is a full recompile, and wide-splat
+                # scenes (avg coverage >> 6) would otherwise pay one per
+                # densify while +2-stepping up to their coverage
+                k = self.splat.cfg.max_tiles_per_gaussian
+                need = int(self._last_metrics.get("n_max_tiles", 0))
+                k_new = max(k + 2, (int(k * 1.5) + 1) // 2 * 2,
+                            min((need + 1) // 2 * 2, 4 * k))
+                self.splat.cfg.max_tiles_per_gaussian = k_new
                 self.splat._specs_cache.clear()
                 retuned = True
         if grown or retuned:
