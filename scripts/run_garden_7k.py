@@ -95,7 +95,7 @@ def main():
                          trainer.splat.table.capacity))
         log(f"densify @{i_iter}: n_live={cap_traj[-1][1]} "
             f"capacity={cap_traj[-1][2]} t={time.time()-t0:.0f}s")
-        if i_iter % 500 == 0:
+        if i_iter % 200 == 0:
             trainer.save_full(full_path, i_iter)  # crash-resumable
 
     trainer._densify = densify_logged
