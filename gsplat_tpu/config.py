@@ -45,6 +45,12 @@ class SplatConfig:
     # modes at 2 and 4 tiles); the trainer grows K when the clipped
     # fraction exceeds 0.5% of pairs (n_clipped is tracked per step).
     max_tiles_per_gaussian: int = 6
+    # Hard ceiling for the trainer's K growth, plus a candidate-plane row
+    # budget it must respect while growing (degenerate splats can cover
+    # thousands of tiles — n_max_tiles ~ the whole grid — and chasing that
+    # coverage compiles a plane large enough to OOM the TPU worker).
+    max_tiles_cap: int = 64
+    max_plane_rows: int = 16_777_216
     # Gaussian-chunk length processed per pallas grid step (the VMEM staging
     # analogue of the reference's SMSIZE shared-memory chunks,
     # gaussian.cu:998-1022).  Must be a multiple of 128 (TPU lanes).

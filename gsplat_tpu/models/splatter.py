@@ -388,7 +388,14 @@ class Splatter:
         changed = False
         for f, c_ in zip(fills, cur[:k]):
             target = min(self._ladder(f * 1.2 * gsq), v)
-            if (c_ < f * 11 // 10 or c_ > target * 2.9) and target != c_:
+            # a cap still at the dense ceiling (v) is untuned: adopt the
+            # observed target outright — the shrink hysteresis below has a
+            # dead zone (target*2.9 > v for mid-size fills) that otherwise
+            # leaves the plane dense forever on its first tune
+            untuned = c_ >= v
+            if ((untuned and target < c_)
+                    or ((c_ < f * 11 // 10 or c_ > target * 2.9)
+                        and target != c_)):
                 new.append(target)
                 changed = True
             else:

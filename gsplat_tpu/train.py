@@ -305,6 +305,34 @@ def make_eval_step(splat: Splatter, interpret=False, group: int = 0):
     return eval_step
 
 
+def bounded_k_growth(cfg, capacity: int, need: int) -> int:
+    """Next candidate-plane width K when the clip guard fires.
+
+    Geometric growth (x1.5, rounded even) with an observed-coverage floor,
+    bounded three ways: at most 2x per event, by the hard
+    ``cfg.max_tiles_cap``, and by the ``cfg.max_plane_rows`` candidate-plane
+    row budget — a degenerate splat can cover thousands of tiles
+    (``n_max_tiles`` ~ the whole grid), and chasing that coverage compiles a
+    plane large enough to OOM-crash the TPU worker.  Returns the current K
+    unchanged when no bounded growth is possible.
+    """
+    k = cfg.max_tiles_per_gaussian
+    k_new = max(k + 2, (int(k * 1.5) + 1) // 2 * 2,
+                min((need + 1) // 2 * 2, 2 * k))
+    k_new = min(k_new, max(int(cfg.max_tiles_cap), k))
+    v_eff = int(cfg.visible_rows or capacity)
+    caps = cfg.col_caps
+
+    def plane_rows(kk: int) -> int:
+        if cfg.plane_mode == "colcap" and caps:
+            return sum(caps[:kk]) + caps[-1] * max(kk - len(caps), 0)
+        return v_eff * kk
+
+    while k_new > k and plane_rows(k_new) > cfg.max_plane_rows:
+        k_new -= 2
+    return max(k_new, k)
+
+
 class Trainer:
     """Mirrors reference ``Trainer`` (train.py:16-291)."""
 
@@ -558,17 +586,14 @@ class Trainer:
             n_clip = int(self._last_metrics.get("n_clipped", 0))
             n_pairs = max(int(self._last_metrics["n_pairs"]), 1)
             if n_clip > 0.005 * n_pairs:
-                # geometric K growth (x1.5, rounded even, observed-coverage
-                # floor): each K change is a full recompile, and wide-splat
-                # scenes (avg coverage >> 6) would otherwise pay one per
-                # densify while +2-stepping up to their coverage
-                k = self.splat.cfg.max_tiles_per_gaussian
-                need = int(self._last_metrics.get("n_max_tiles", 0))
-                k_new = max(k + 2, (int(k * 1.5) + 1) // 2 * 2,
-                            min((need + 1) // 2 * 2, 4 * k))
-                self.splat.cfg.max_tiles_per_gaussian = k_new
-                self.splat._specs_cache.clear()
-                retuned = True
+                cfg = self.splat.cfg
+                k_new = bounded_k_growth(
+                    cfg, self.splat.table.capacity,
+                    int(self._last_metrics.get("n_max_tiles", 0)))
+                if k_new > cfg.max_tiles_per_gaussian:
+                    cfg.max_tiles_per_gaussian = k_new
+                    self.splat._specs_cache.clear()
+                    retuned = True
         if grown or retuned:
             self._rebuild_after_capacity_change()
         tbl = self.splat.table
@@ -846,6 +871,10 @@ def build_argparser():
     p.add_argument("--use_pallas", type=int, default=1)
     p.add_argument("--chunk_size", type=int, default=128)
     p.add_argument("--max_tiles_per_gaussian", type=int, default=6)
+    p.add_argument("--max_tiles_cap", type=int, default=64,
+                   help="hard ceiling for automatic K growth")
+    p.add_argument("--max_plane_rows", type=int, default=16_777_216,
+                   help="candidate-plane row budget bounding K growth")
     p.add_argument("--capacity_round", type=int, default=65536,
                    help="gaussian table capacity bucket (smaller for tiny "
                         "scenes to avoid padded compute)")
@@ -875,6 +904,8 @@ def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
         # render_downsample at iter 400 (reference train.py:233-234)
         render_downsample=a.render_downsample_start,
         max_tiles_per_gaussian=a.max_tiles_per_gaussian,
+        max_tiles_cap=a.max_tiles_cap,
+        max_plane_rows=a.max_plane_rows,
         chunk_size=a.chunk_size,
         use_pallas=bool(a.use_pallas),
         capacity_round=a.capacity_round,

@@ -66,6 +66,10 @@ def main():
         "--grad_accum_method", "mean", "--grad_accum_iters", "300",
         "--split_thresh", "0.08",
         "--use_sh_coeff", str(args.use_sh_coeff),
+        # the synthetic garden init carries a fat tail of huge splats
+        # (n_max_tiles ~ half the grid); growing K after them explodes the
+        # candidate plane, and the clip fail-safe costs little quality
+        "--max_tiles_cap", "40",
         "--n_save_train_img", "1000",
         "--metrics_every", str(args.metrics_every),
     ]

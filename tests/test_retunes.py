@@ -50,6 +50,52 @@ def test_retune_col_caps_sets_and_converges(splat):
         assert c >= min(f, v)
 
 
+def test_retune_col_caps_engages_from_dense_ceiling(splat):
+    """First tune must adopt observed targets even when every fill sits in
+    the shrink-hysteresis dead zone (target*2.9 > capacity): untuned caps at
+    the dense ceiling otherwise stay dense forever — the 7k garden run spent
+    2300 iters at 0.3 it/s on the dense plane because of exactly this."""
+    splat.cfg.plane_mode = "colcap"
+    splat.cfg.col_caps = None
+    splat._specs_cache.clear()
+    k = splat.cfg.max_tiles_per_gaussian
+    cap = splat.table.capacity
+    # mid-size fills: ladder(f*1.2) < cap but ladder(f*1.2)*2.9 > cap
+    fills = [int(cap * 0.45)] * k
+    assert splat.retune_col_caps(fills) is True
+    assert all(c < cap for c in splat.cfg.col_caps)
+    assert all(c >= f for f, c in zip(fills, splat.cfg.col_caps))
+    # and idempotent afterwards
+    assert splat.retune_col_caps(fills) is False
+    splat.cfg.col_caps = None
+    splat._specs_cache.clear()
+
+
+def test_bounded_k_growth():
+    from gsplat_tpu.config import SplatConfig
+    from gsplat_tpu.train import bounded_k_growth
+
+    # degenerate coverage (one splat spans ~the whole grid) must not blow
+    # past the 2x step / hard cap / plane-row budget bounds
+    cfg = SplatConfig(max_tiles_per_gaussian=34, plane_mode="colcap",
+                      col_caps=tuple([200_000] * 34))
+    k = bounded_k_growth(cfg, capacity=458_752, need=1880)
+    assert 34 < k <= 68
+    assert sum(cfg.col_caps) + cfg.col_caps[-1] * (k - 34) \
+        <= cfg.max_plane_rows
+    # dense mode at large capacity: the row budget clamps growth to the
+    # largest K whose dense plane still fits (458752*36 <= 16.78M)
+    cfg2 = SplatConfig(max_tiles_per_gaussian=34, plane_mode="dense")
+    assert bounded_k_growth(cfg2, capacity=458_752, need=1880) == 36
+    # small scene: growth proceeds toward the observed need
+    cfg3 = SplatConfig(max_tiles_per_gaussian=6, plane_mode="dense")
+    assert bounded_k_growth(cfg3, capacity=4096, need=10) == 10
+    # hard cap wins even when rows are affordable
+    cfg4 = SplatConfig(max_tiles_per_gaussian=62, plane_mode="colcap",
+                       col_caps=tuple([4096] * 62))
+    assert bounded_k_growth(cfg4, capacity=458_752, need=500) == 64
+
+
 def test_retune_col_caps_noop_in_dense_mode(splat):
     splat.cfg.plane_mode = "dense"
     assert splat.retune_col_caps([10000] * 6) is False
