@@ -47,10 +47,11 @@ def main():
                     help="ground truth = this pipeline's own render of a "
                          "perturbed target table (realizable target; PSNR "
                          "line is meaningful) instead of random noise")
-    ap.add_argument("--fused_pack", type=int, default=1,
+    ap.add_argument("--fused_pack", type=int, default=-1,
                     help="1 = sort-carried channel packing (pack_sorted), "
-                         "0 = legacy sort+gather route (A/B lever; which "
-                         "wins depends on pair scale)")
+                         "0 = legacy sort+gather route, -1 = auto: legacy "
+                         "for SH (the 27-coeff payload sort's 34 operands "
+                         "blow up the TPU sort-expander compile, PERF.md)")
     ap.add_argument("--render_preset", type=int, default=0,
                     help="also bench the bf16-packed render preset "
                          "(render-only: bf16 channel pairs as i32 sort "
@@ -80,8 +81,9 @@ def main():
         n_gauss, w, h, focal = 20_000, 320, 240, 260.0
         m_cams, k_small, k_big = 8, 1, 3
 
+    fused = (not use_sh) if args.fused_pack < 0 else bool(args.fused_pack)
     cfg = SplatConfig(use_pallas=True, use_sh_coeff=use_sh,
-                      fused_pack=bool(args.fused_pack))
+                      fused_pack=fused)
     if args.chunk_size:
         cfg.chunk_size = int(args.chunk_size)
     if args.px_split:

@@ -843,6 +843,11 @@ def build_argparser():
     p.add_argument("--ssim_weight", type=float, default=t.ssim_weight)
     p.add_argument("--debug", type=int, default=0)
     p.add_argument("--use_sh_coeff", type=int, default=0)
+    p.add_argument("--fused_pack", type=int, default=-1,
+                   help="1 = sort-carried channel packing, 0 = legacy "
+                        "sort+gather, -1 = auto (legacy for SH: the "
+                        "27-coeff payload sort's 34 operands blow up the "
+                        "TPU sort-expander compile, PERF.md round 3)")
     p.add_argument("--scale_reg", type=float, default=0.0)
     p.add_argument("--opa_reg", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=t.seed)
@@ -893,6 +898,8 @@ def build_argparser():
 def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
     scfg = SplatConfig(
         use_sh_coeff=bool(a.use_sh_coeff),
+        fused_pack=(not a.use_sh_coeff) if a.fused_pack < 0
+        else bool(a.fused_pack),
         opa_init_value=a.opa_init_value,
         scale_init_value=a.scale_init_value,
         tile_culling_method=a.tile_culling_method,
