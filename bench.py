@@ -49,9 +49,17 @@ def main():
                          "line is meaningful) instead of random noise")
     ap.add_argument("--fused_pack", type=int, default=-1,
                     help="1 = sort-carried channel packing (pack_sorted), "
-                         "0 = legacy sort+gather route, -1 = auto: legacy "
-                         "for SH (the 27-coeff payload sort's 34 operands "
-                         "blow up the TPU sort-expander compile, PERF.md)")
+                         "0 = legacy sort+gather route, -1 = auto: fused "
+                         "for both RGB and SH (SH colors move by one "
+                         "post-sort row gather — gather_colors — so the "
+                         "payload sort keeps the RGB graph's operand count)")
+    ap.add_argument("--gather_colors", type=int, default=-1,
+                    help="colors via one post-sort row gather instead of "
+                         "payload-sort operands (-1 auto: SH on, RGB off)")
+    ap.add_argument("--gather_geom", type=int, default=-1,
+                    help="full gather route: sort carries only (key, flat); "
+                         "geometry rides the same post-sort row gather "
+                         "(-1 auto: off; 0/1 force)")
     ap.add_argument("--render_preset", type=int, default=0,
                     help="also bench the bf16-packed render preset "
                          "(render-only: bf16 channel pairs as i32 sort "
@@ -81,9 +89,11 @@ def main():
         n_gauss, w, h, focal = 20_000, 320, 240, 260.0
         m_cams, k_small, k_big = 8, 1, 3
 
-    fused = (not use_sh) if args.fused_pack < 0 else bool(args.fused_pack)
+    fused = True if args.fused_pack < 0 else bool(args.fused_pack)
     cfg = SplatConfig(use_pallas=True, use_sh_coeff=use_sh,
-                      fused_pack=fused)
+                      fused_pack=fused,
+                      gather_colors=int(args.gather_colors),
+                      gather_geom=int(args.gather_geom))
     if args.chunk_size:
         cfg.chunk_size = int(args.chunk_size)
     if args.px_split:

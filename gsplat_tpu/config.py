@@ -97,6 +97,17 @@ class SplatConfig:
     # backward — the trainer must keep this False (viewer/bench FPS paths
     # flip it on a render-only config copy)
     packed_bf16: bool = False
+    # Wide-color fast path: colors move by one post-sort row gather instead
+    # of riding the payload sort (ops/binning gather_colors).  -1 = auto
+    # (on for SH's 27 coefficients, whose 36-operand payload sort never
+    # finishes compiling on TPU, PERF.md round-3; off for 3-channel RGB,
+    # where 3 payloads are cheaper than a slot-scale gather); 0/1 force.
+    gather_colors: int = -1
+    # Full gather route (implies gather_colors): the payload sort carries
+    # only (key, flat) — TWO operands — and geometry moves by the same
+    # post-sort row gather as colors (ops/binning gather_geom).  -1 = auto
+    # (currently off pending TPU A/B measurement); 0/1 force.
+    gather_geom: int = -1
 
     @property
     def tile_px(self) -> int:

@@ -173,6 +173,15 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         pad_guess = grid.n_tile_x * grid.n_tile_y * g if fused else 0
         slot_cap = floor + pad_guess \
             + ((int(capacity * cfg.pair_factor) // g) + 1) * g
+    gc_flag = int(getattr(cfg, "gather_colors", -1))
+    gather_colors = (color_dim > 8) if gc_flag == -1 else bool(gc_flag)
+    gg_flag = int(getattr(cfg, "gather_geom", -1))
+    gather_geom = False if gg_flag == -1 else bool(gg_flag)
+    gather_colors = gather_colors or gather_geom   # gather_geom implies it
+    ok = (fused and getattr(cfg, "plane_mode", "dense") == "colcap"
+          and not bool(getattr(cfg, "packed_bf16", False)))
+    gather_colors = gather_colors and ok
+    gather_geom = gather_geom and ok
     bspec = BinningSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_len_x=grid.tile_geo_length_x, tile_len_y=grid.tile_geo_length_y,
@@ -187,6 +196,8 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         col_caps=_norm_col_caps(getattr(cfg, "col_caps", None),
                                 cfg.max_tiles_per_gaussian),
         packed_bf16=bool(getattr(cfg, "packed_bf16", False)),
+        gather_colors=gather_colors,
+        gather_geom=gather_geom,
     )
     if bspec.packed_bf16 and (bspec.plane_mode != "colcap"
                               or not getattr(cfg, "fused_pack", True)):
@@ -201,6 +212,8 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         weight_normalize=cfg.render_weight_normalize,
         channel_major=bool(getattr(cfg, "fused_pack", True)),
         packed_bf16=bspec.packed_bf16,
+        color_row_major=bspec.gather_colors,
+        geom_row_major=bspec.gather_geom,
         px_split=int(getattr(cfg, "px_split", 1)),
     )
     return bspec, rspec

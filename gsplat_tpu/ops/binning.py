@@ -96,6 +96,27 @@ class BinningSpec(NamedTuple):
     # accuracy (~0.2 px at 16-px tiles); the kernels re-add the centre in
     # f32.  The backward pass is NOT supported (training keeps f32).
     packed_bf16: bool = False
+    # Wide-color (SH) fast path, colcap only: colors do NOT ride the payload
+    # sort.  27 extra f32 payloads make the TPU sort expander's comparator
+    # generation blow up (the 36-operand SH graph never finished a 45-min
+    # compile, PERF.md round-3) and would cost ~27 ms at Garden pair scale
+    # anyway.  Instead the sort carries key+flat+geometry (9 operands, same
+    # shape as the RGB graph) and the (S, c8) color block is produced by ONE
+    # row gather through ``sorted_flat`` (~5 ns/row, 108-B rows); the
+    # backward adds one iota payload and inverts with one row gather.  The
+    # color block comes out ROW-major — consume with a raster spec carrying
+    # ``color_row_major=True``.
+    gather_colors: bool = False
+    # Full gather route (requires gather_colors): geometry does not ride the
+    # payload sort either — the sort carries only (key, flat), TWO operands
+    # regardless of channel width, and BOTH blocks are produced by post-sort
+    # row gathers through the same slot→source-row map.  The geometry block
+    # comes out ROW-major (S, 8) — consume with ``geom_row_major=True``.
+    # Backward: the inverse sort carries one iota payload; geometry and
+    # color cotangents move with one row gather each.  Trades ~7 sort
+    # payloads (~1 ms each per 2M pairs) for one 32-B row gather
+    # (~5 ns/row at slot scale) per direction.
+    gather_geom: bool = False
 
     @property
     def n_tiles(self) -> int:
@@ -387,6 +408,8 @@ class PackedMeta(NamedTuple):
 
 def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
     """Forward implementation; returns (packed, meta, residuals)."""
+    assert not spec.gather_colors, \
+        "gather_colors requires plane_mode='colcap'"
     n = depth.shape[0]
     K, G, T = spec.max_tiles_per_gaussian, spec.chunk_size, spec.n_tiles
     V = min(spec.visible_rows or n, n)
@@ -591,31 +614,41 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     sent = jnp.int32(T << rb)
     pad_rank = jnp.int32((1 << rb) - 1)
 
-    # ---- depth ordering (row-scale gathers only) ------------------------
+    # ---- depth ordering (keys only — no row gathers yet) -----------------
     depth_key = jnp.where(visible, depth, jnp.inf)
     order = jnp.argsort(depth_key).astype(jnp.int32)
-    inv_order = jnp.argsort(order).astype(jnp.int32)
+    inv_order = jnp.argsort(order).astype(jnp.int32)    # depth rank per row
     n_visible = jnp.sum(visible)
     n_vis_dropped = jnp.maximum(n_visible - V, 0)
-    geom_o = jnp.take(geom_n, order[:V], axis=0)          # (V, 8)
-    color_o = jnp.take(color_n, order[:V], axis=0)        # (V, c)
-    vis_o = jnp.take(visible, order[:V], axis=0)
 
-    # ---- coverage (depth order) + column fills --------------------------
-    x0d, y0d, rwd, rhd = _tile_bbox(spec, geom_o[:, 0:2], geom_o[:, 2:6],
-                                    vis_o)
-    cov_d = jnp.minimum(rwd * rhd, K)
-    n_clipped = jnp.sum(jnp.maximum(rwd * rhd - K, 0))
-    n_max_tiles = jnp.max(rwd * rhd)
-    m = jnp.stack([jnp.sum(cov_d > k) for k in range(K)])  # (K,) fills
+    # ---- coverage + column fills in ORIGINAL order -----------------------
+    # (the visible-row budget cut is a mask, not a gather: rows whose depth
+    # rank falls past V count as coverage 0, exactly like invisible rows)
+    in_budget = visible & (inv_order < V)
+    _, _, rwa, rha = _tile_bbox(spec, geom_n[:, 0:2], geom_n[:, 2:6],
+                                in_budget)
+    area = rwa * rha
+    cov = jnp.minimum(area, K)
+    n_clipped = jnp.sum(jnp.maximum(area - K, 0))
+    n_max_tiles = jnp.max(area)
+    m = jnp.stack([jnp.sum(cov > k) for k in range(K)])  # (K,) fills
 
-    # ---- coverage-descending stable order (depth-stable within ties) ----
-    cov_order = jnp.argsort((K - cov_d).astype(jnp.int32),
-                            stable=True).astype(jnp.int32)
-    inv_cov = jnp.argsort(cov_order).astype(jnp.int32)
-    geom_s = jnp.take(geom_o, cov_order, axis=0)
-    color_s = jnp.take(color_o, cov_order, axis=0)
-    vis_s = jnp.take(vis_o, cov_order, axis=0)
+    # ---- ONE composed permutation: coverage-major, depth-rank-minor ------
+    # The old pipeline gathered all channel rows to depth order and then
+    # AGAIN to coverage order (two (V, 8)+(V, c) row gathers, ~1%-of-HBM
+    # XLA gather speed).  A composite integer key sorts straight from the
+    # original order, the row gather happens once, and only the first
+    # max(col_caps) rows — the only rows any column slice reads — move.
+    rb2 = max(int(n - 1).bit_length(), 1)
+    assert (K << rb2) < (1 << 31), (K, rb2)
+    comp_key = ((K - cov) << rb2) | inv_order           # unique → stable
+    comp_order = jnp.argsort(comp_key).astype(jnp.int32)
+    inv_comp = jnp.argsort(comp_order).astype(jnp.int32)
+    v_rows = min(max(caps), V)                          # gathered window
+    sel = comp_order[:v_rows]
+    geom_s = jnp.take(geom_n, sel, axis=0)              # (Vr, 8)
+    color_s = jnp.take(color_n, sel, axis=0)            # (Vr, c)
+    vis_s = jnp.take(in_budget, sel, axis=0)
     # ONE transpose to channel-major: every per-column channel read below
     # becomes a contiguous row slice.  Minor-axis column slices of the
     # (V, 8)/(V, c) gathered blocks are strided relayouts — K columns x
@@ -625,7 +658,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     x0, y0, rw, rh = _tile_bbox_rows(
         spec, geom_t[0], geom_t[1], geom_t[2], geom_t[3], geom_t[4],
         geom_t[5], vis_s)
-    rank = cov_order                                       # depth rank
+    rank = jnp.take(inv_order, sel)                        # depth rank
 
     # ---- per-column candidate slices ------------------------------------
     c_pad = -c_cols % 8
@@ -634,8 +667,22 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         # payload rows: geom (x|c, y|d, a|opa, b|0) + colors (j | j+c8/2);
         # positions go tile-relative so bf16 keeps sub-pixel accuracy
         n_geo_rows, n_col_rows = 4, c8 // 2
+    elif spec.gather_geom:
+        # full gather route: the sort carries only (key, flat); geometry
+        # AND colors move by post-sort row gathers
+        assert spec.gather_colors, "gather_geom requires gather_colors"
+        assert not spec.packed_bf16
+        n_geo_rows, n_col_rows = 0, 0
+    elif spec.gather_colors:
+        # colors move by one post-sort row gather instead of riding the
+        # sort — the payload-operand count stays at the RGB graph's 9
+        # regardless of color width (27-coeff SH compiles and runs)
+        assert not spec.packed_bf16
+        n_geo_rows, n_col_rows = 7, 0
     else:
         n_geo_rows, n_col_rows = 7, c_cols
+    assert not (spec.gather_colors and spec.packed_bf16), \
+        "gather_colors and packed_bf16 are mutually exclusive"
     key_parts, flat_parts = [], []
     chan_parts = [[] for _ in range(n_geo_rows + n_col_rows)]
     off = 0
@@ -675,6 +722,10 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                     for j in range(c8)]
             rows += [_pack2_bf16(ccol[j], ccol[half + j])
                      for j in range(half)]
+        elif spec.gather_geom:
+            rows = []
+        elif spec.gather_colors:
+            rows = [geom_t[j, :cpk] for j in range(7)]
         else:
             rows = [geom_t[j, :cpk] for j in range(7)] \
                 + [color_t[j, :cpk] for j in range(c_cols)]
@@ -754,11 +805,31 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
             [fit(out[base + 4 + j]) for j in range(c8 // 2)], axis=0)
     else:
         sorted_flat = out[1]
-        geom_pk = jnp.stack(
-            [fit(out[base + j]) for j in range(7)] + [zcol], axis=0)
-        colors_pk = jnp.stack(
-            [fit(out[base + 7 + j]) for j in range(c_cols)] + [zcol] * c_pad,
-            axis=0)
+        if spec.gather_colors:
+            # slot → source row: candidate index p in column k is
+            # off_k + row, so the inverse is K static range tests at slot
+            # scale; pad slots (flat == P) point at the appended zero row
+            flat_s = fit(sorted_flat, fill=P)              # (S,)
+            row = jnp.full((S,), v_rows, jnp.int32)
+            offp = 0
+            for cpk in caps:
+                in_k = (flat_s >= offp) & (flat_s < offp + cpk)
+                row = jnp.where(in_k, flat_s - offp, row)
+                offp += cpk
+            color_g = jnp.pad(color_s, ((0, 1), (0, c_pad)))  # (Vr+1, c8)
+            colors_pk = jnp.take(color_g, row, axis=0)        # (S, c8) ROW-major
+        if spec.gather_geom:
+            # geometry by the same map: 7 real channels + zero 8th column
+            # (pad row AND pad column in one jnp.pad)
+            geom_g = jnp.pad(geom_s[:, :7], ((0, 1), (0, 1)))  # (Vr+1, 8)
+            geom_pk = jnp.take(geom_g, row, axis=0)            # (S, 8) ROW-major
+        else:
+            geom_pk = jnp.stack(
+                [fit(out[base + j]) for j in range(7)] + [zcol], axis=0)
+        if not spec.gather_colors:
+            colors_pk = jnp.stack(
+                [fit(out[base + 7 + j]) for j in range(c_cols)]
+                + [zcol] * c_pad, axis=0)
         if p_tot < L:
             sorted_flat = jnp.concatenate(
                 [sorted_flat, jnp.full((L - p_tot,), P, jnp.int32)])
@@ -772,7 +843,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         col_fill=m, n_plane_clipped=n_plane_clipped,
         n_chunks_used=nc_used,
     )
-    return (geom_pk, colors_pk), meta, (sorted_flat, inv_order, inv_cov)
+    return (geom_pk, colors_pk), meta, (sorted_flat, inv_comp, None)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -812,7 +883,7 @@ def _pack_sorted_bwd(spec, residuals, cts):
             "packed_bf16 is a render-only preset (bf16 channel payloads); "
             "train with packed_bf16=False — the f32 path is the "
             "differentiable one")
-    (sorted_flat, inv_order, inv_cov), n, c_cols, depth, visible = residuals
+    (sorted_flat, inv_a, inv_b), n, c_cols, depth, visible = residuals
     (g_geom, g_color), _g_meta = cts
     K, G = spec.max_tiles_per_gaussian, spec.chunk_size
     S = spec.num_slots
@@ -822,32 +893,55 @@ def _pack_sorted_bwd(spec, residuals, cts):
         caps = spec.col_caps or (V,) * K
         caps = tuple(min(int(c_), V) for c_ in caps)
         P = sum(caps)
+        v_rows = min(max(caps), V)
     else:
         P = V * K
+        v_rows = V
 
     def unfit(col):  # (S,) cotangent row → (L,)
         if L > S:
             col = jnp.concatenate([col, jnp.zeros((L - S,), col.dtype)])
         return col
 
+    gather = spec.gather_colors and spec.plane_mode == "colcap"
+    gather_g = spec.gather_geom and spec.plane_mode == "colcap"
     # cotangents arrive channel-major (8, S)/(c8, S) — rows are contiguous
-    cols = tuple(unfit(g_geom[j]) for j in range(7)) \
-        + tuple(unfit(g_color[j]) for j in range(c_cols))
+    # (ROW-major (S, ·) blocks on the gather routes)
+    cols = () if gather_g else tuple(unfit(g_geom[j]) for j in range(7))
+    if gather:
+        # color cotangent is (S, c8) ROW-major (the forward gathered it);
+        # instead of riding c8 payloads, ride ONE iota payload to learn each
+        # candidate's slot, then move the color rows with ONE row gather
+        cols = (jnp.arange(L, dtype=jnp.int32),) + cols
+    else:
+        cols += tuple(unfit(g_color[j]) for j in range(c_cols))
     # one sort inverts the tile sort (pads carry sentinel key P → sort last)
     out = jax.lax.sort((sorted_flat,) + cols, num_keys=1, is_stable=False)
+    if gather:
+        s_of_p = out[1]                       # (L,) slot per candidate rank
+        geom_out = () if gather_g else out[2:9]
+        c8 = g_color.shape[1]
+        g_color_p = jnp.concatenate(
+            [g_color, jnp.zeros((1, c8), g_color.dtype)], axis=0)
+        # candidates whose slot fell past the budget (or fit-padding) read
+        # the appended zero row
+        g_color_cand = jnp.take(
+            g_color_p, jnp.minimum(s_of_p, S), axis=0)     # (L, c8)
+    else:
+        geom_out = out[1:8]
 
     if spec.plane_mode == "colcap":
         def reduce_rows(col):
             # column-major plane: column k's grads live at a static slice;
             # the per-row reduction over covered columns is K slice-adds at
             # row scale (no pair-scale gathers)
-            acc = jnp.zeros((V,), col.dtype)
+            acc = jnp.zeros((v_rows,), col.dtype)
             off = 0
             for cpk in caps:
                 seg = col[off:off + cpk]
-                if cpk < V:
+                if cpk < v_rows:
                     seg = jnp.concatenate(
-                        [seg, jnp.zeros((V - cpk,), col.dtype)])
+                        [seg, jnp.zeros((v_rows - cpk,), col.dtype)])
                 acc = acc + seg
                 off += cpk
             return acc
@@ -855,27 +949,59 @@ def _pack_sorted_bwd(spec, residuals, cts):
         def reduce_rows(col):  # candidate order → (V,) depth-row sums
             return col[:P].reshape(V, K).sum(axis=1)
 
-    rows = [reduce_rows(c) for c in out[1:]]
-    # axis-0 stack (contiguous) + one tiled transpose instead of a minor-
-    # axis interleave stack (measured ~47 ms per 2.3M rows, PERF.md)
-    g_geom_rows = jnp.stack(
-        rows[:7] + [jnp.zeros((V,), jnp.float32)], axis=0).T
-    g_color_rows = jnp.stack(rows[7:], axis=0).T
-    if spec.plane_mode == "colcap":
-        # plane rows are in coverage order — restore depth order first
-        g_geom_rows = jnp.take(g_geom_rows, inv_cov, axis=0)
-        g_color_rows = jnp.take(g_color_rows, inv_cov, axis=0)
+    def reduce_rows_2d(cand):
+        # 2D per-column slice-adds: candidate order → (v_rows, C) row sums
+        acc = jnp.zeros((v_rows,) + cand.shape[1:], cand.dtype)
+        off = 0
+        for cpk in caps:
+            seg = cand[off:off + cpk]
+            if cpk < v_rows:
+                seg = jnp.concatenate(
+                    [seg, jnp.zeros((v_rows - cpk,) + seg.shape[1:],
+                                    seg.dtype)], axis=0)
+            acc = acc + seg
+            off += cpk
+        return acc
 
-    def expand(rows_v):  # (V, C) → original order (N, C)
-        if V < n:
+    if gather_g:
+        # geometry cotangent (S, 8) ROW-major → one row gather, 2D reduce;
+        # the 8th column (kernel-written zeros) is re-zeroed for exactness
+        g_geom_p = jnp.concatenate(
+            [g_geom, jnp.zeros((1, g_geom.shape[1]), g_geom.dtype)], axis=0)
+        g_geom_cand = jnp.take(
+            g_geom_p, jnp.minimum(s_of_p, S), axis=0)      # (L, 8)
+        gg = reduce_rows_2d(g_geom_cand)
+        g_geom_rows = jnp.concatenate(
+            [gg[:, :7], jnp.zeros((v_rows, 1), gg.dtype)], axis=1)
+    else:
+        rows = [reduce_rows(c) for c in geom_out]
+        # axis-0 stack (contiguous) + one tiled transpose instead of a
+        # minor-axis interleave stack (measured ~47 ms per 2.3M rows)
+        g_geom_rows = jnp.stack(
+            rows + [jnp.zeros((v_rows,), jnp.float32)], axis=0).T
+    if gather:
+        g_color_rows = reduce_rows_2d(g_color_cand)[:, :c_cols]
+    else:
+        g_color_rows = jnp.stack(
+            [reduce_rows(unfit_out) for unfit_out in out[8:]], axis=0).T
+
+    def expand(rows_v, inv):  # (rows, C) → original order (N, C)
+        r = rows_v.shape[0]
+        if r < n:
             rows_v = jnp.concatenate(
-                [rows_v, jnp.zeros((n - V,) + rows_v.shape[1:],
+                [rows_v, jnp.zeros((n - r,) + rows_v.shape[1:],
                                    rows_v.dtype)], axis=0)
-        return jnp.take(rows_v, inv_order, axis=0)
+        return jnp.take(rows_v, inv, axis=0)
 
     import numpy as _np
 
-    return (expand(g_geom_rows), expand(g_color_rows),
+    # rows are in composed coverage order (colcap) / depth order (dense):
+    # ONE gather restores the original order.  (The old colcap pipeline
+    # paid an extra inv_cov (V, 8)+(V, c8) row gather here before the
+    # inv_order one — ~XLA-gather speed, the single biggest fusion in the
+    # train-step trace.)
+    del inv_b
+    return (expand(g_geom_rows, inv_a), expand(g_color_rows, inv_a),
             jnp.zeros_like(depth),
             _np.zeros(visible.shape, jax.dtypes.float0))
 

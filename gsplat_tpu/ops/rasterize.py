@@ -69,6 +69,17 @@ class RasterSpec(NamedTuple):
     # are tile-relative and the kernel composites against tile-relative
     # pixel coordinates.  No backward.
     packed_bf16: bool = False
+    # Color buffer arrives ROW-major (S, c8) even though geometry is
+    # channel-major — set when the pack side used BinningSpec.gather_colors
+    # (the post-sort row gather naturally emits row-major; a pair-scale
+    # (S, c8) transpose would cost tens of ms, while the kernels' in-VMEM
+    # (G, c8) transpose is ~free)
+    color_row_major: bool = False
+    # Geometry buffer arrives ROW-major (S, 8) — set when the pack side used
+    # BinningSpec.gather_geom (the post-sort row gather emits row-major; the
+    # kernels consume (G, 8) rows natively, so this merely skips the in-VMEM
+    # transpose the channel-major layout needs)
+    geom_row_major: bool = False
     # Sub-tile early termination: split the pixel (lane) axis into this
     # many independently-gated halves in the forward kernel.  The CUDA
     # kernel breaks per pixel (gaussian.cu:906); chunk-level gating is
@@ -272,7 +283,10 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, chunk_len,
         geom = unpack2_bf16(geom).T
         colarr = unpack2_bf16(colarr).T[:, :spec.c_col]
     elif spec.channel_major:
-        geom, colarr = geom.T, colarr.T
+        if not spec.geom_row_major:
+            geom = geom.T
+        if not spec.color_row_major:
+            colarr = colarr.T
     g_all = geom.reshape(nc, spec.chunk_size, 8)
     c_all = colarr.reshape(nc, spec.chunk_size, spec.c_col)
 
@@ -378,8 +392,10 @@ def _fwd_kernel(spec: RasterSpec,
             g = unpack2_bf16(geom_ref[:]).T
             gc = unpack2_bf16(col_ref[:]).T[:, :spec.c_col]
         else:
-            g = geom_ref[:].T if spec.channel_major else geom_ref[:]
-            gc = col_ref[:].T if spec.channel_major else col_ref[:]
+            g = geom_ref[:].T if (spec.channel_major
+                                  and not spec.geom_row_major) else geom_ref[:]
+            gc = col_ref[:].T if (spec.channel_major
+                                  and not spec.color_row_major) else col_ref[:]
         gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
 
         def half_body(h0, hw):
@@ -454,8 +470,10 @@ def _bwd_kernel(spec: RasterSpec,
     @pl.when(do_compute)
     def _():
         pxc_full, pyc_full = _tile_pixel_coords(spec, t)
-        g_in = geom_ref[:].T if spec.channel_major else geom_ref[:]
-        gc_in = col_ref[:].T if spec.channel_major else col_ref[:]
+        g_in = geom_ref[:].T if (spec.channel_major
+                                 and not spec.geom_row_major) else geom_ref[:]
+        gc_in = col_ref[:].T if (spec.channel_major
+                                 and not spec.color_row_major) else col_ref[:]
         gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
         slot_ok = gidx < clen_ref[i]
         nsplit = max(int(spec.px_split), 1)
@@ -549,8 +567,10 @@ def _bwd_kernel(spec: RasterSpec,
             if pad:
                 gcol = jnp.concatenate(
                     [gcol, jnp.zeros((g_dim, pad), jnp.float32)], axis=1)
-            gg_w = gg_out.T if spec.channel_major else gg_out
-            gc_w = gcol.T if spec.channel_major else gcol
+            gg_w = gg_out.T if (spec.channel_major
+                                and not spec.geom_row_major) else gg_out
+            gc_w = gcol.T if (spec.channel_major
+                              and not spec.color_row_major) else gcol
             if accumulate:
                 grad_geom_ref[:] += gg_w
                 grad_col_ref[:] += gc_w
@@ -591,7 +611,12 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
         ]
     elif spec.channel_major:
         in_specs = [
+            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0))
+            if spec.geom_row_major else
             pl.BlockSpec((8, spec.chunk_size), lambda i, *_: (0, i)),
+            pl.BlockSpec((spec.chunk_size, spec.c_col),
+                         lambda i, *_: (i, 0))
+            if spec.color_row_major else
             pl.BlockSpec((spec.c_col, spec.chunk_size),
                          lambda i, *_: (0, i)),
         ]
@@ -636,7 +661,12 @@ def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
     nc = chunk_tile.shape[0]
     if spec.channel_major:
         pk_specs = [
+            pl.BlockSpec((spec.chunk_size, 8), lambda i, *_: (i, 0))
+            if spec.geom_row_major else
             pl.BlockSpec((8, spec.chunk_size), lambda i, *_: (0, i)),
+            pl.BlockSpec((spec.chunk_size, spec.c_col),
+                         lambda i, *_: (i, 0))
+            if spec.color_row_major else
             pl.BlockSpec((spec.c_col, spec.chunk_size),
                          lambda i, *_: (0, i)),
         ]

@@ -845,9 +845,21 @@ def build_argparser():
     p.add_argument("--use_sh_coeff", type=int, default=0)
     p.add_argument("--fused_pack", type=int, default=-1,
                    help="1 = sort-carried channel packing, 0 = legacy "
-                        "sort+gather, -1 = auto (legacy for SH: the "
-                        "27-coeff payload sort's 34 operands blow up the "
-                        "TPU sort-expander compile, PERF.md round 3)")
+                        "sort+gather, -1 = auto: fused for RGB and SH "
+                        "(SH colors bypass the payload sort via one "
+                        "post-sort row gather — see --gather_colors)")
+    p.add_argument("--gather_colors", type=int, default=-1,
+                   help="colors move by one post-sort row gather instead "
+                        "of riding the payload sort (colcap only).  -1 = "
+                        "auto: on for 27-coeff SH (whose 36-operand "
+                        "payload sort never finishes compiling on TPU), "
+                        "off for RGB; 0/1 force")
+    p.add_argument("--gather_geom", type=int, default=-1,
+                   help="full gather route: the payload sort carries only "
+                        "(key, flat) and geometry moves by the same "
+                        "post-sort row gather as colors (-1 auto: off "
+                        "pending TPU A/B; 0/1 force; implies "
+                        "--gather_colors)")
     p.add_argument("--scale_reg", type=float, default=0.0)
     p.add_argument("--opa_reg", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=t.seed)
@@ -898,8 +910,9 @@ def build_argparser():
 def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
     scfg = SplatConfig(
         use_sh_coeff=bool(a.use_sh_coeff),
-        fused_pack=(not a.use_sh_coeff) if a.fused_pack < 0
-        else bool(a.fused_pack),
+        fused_pack=True if a.fused_pack < 0 else bool(a.fused_pack),
+        gather_colors=a.gather_colors,
+        gather_geom=a.gather_geom,
         opa_init_value=a.opa_init_value,
         scale_init_value=a.scale_init_value,
         tile_culling_method=a.tile_culling_method,

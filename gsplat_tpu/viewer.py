@@ -89,7 +89,11 @@ def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
         # double kernel math (renderer.py:22,40); the TPU analogue is the
         # bf16-packed render preset on render-only surfaces
         fast = bool(cfg.fast_drawing)
-    if fast and cfg.fused_pack and cfg.plane_mode == "colcap":
+    if fast and cfg.fused_pack and cfg.plane_mode == "colcap" \
+            and not cfg.use_sh_coeff:
+        # RGB only: for SH the bf16 preset would put 14 packed color
+        # payloads back on the sort (the compile blowup gather_colors
+        # exists to avoid); SH keeps the f32 gather route in Fast Mode
         cfg = dataclasses.replace(cfg, packed_bf16=True)
     grid = TileGrid(width=int(width), height=int(height),
                     focal_x=focal_x, focal_y=focal_y,

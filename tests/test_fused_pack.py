@@ -317,6 +317,240 @@ def test_packed_bf16_sh_render(rng):
     assert psnr > 38, psnr
 
 
+# ---------------------------------------------------------------------------
+# gather_colors: wide-color fast path (colors move by one post-sort gather
+# instead of riding the payload sort — the SH sort keeps RGB's 9 operands)
+# ---------------------------------------------------------------------------
+
+def _gather_spec(bspec, caps=None):
+    return _colcap_spec(bspec, caps)._replace(gather_colors=True)
+
+
+def test_gather_colors_sh_matches_dense(rng):
+    """SH forward via gathered row-major colors == dense-plane route."""
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=90, color_dim=27)
+    rspec_cm = rspec._replace(channel_major=True)
+    rspec_g = rspec_cm._replace(color_row_major=True)
+    shv = jnp.asarray(np.random.default_rng(5).normal(0, 0.3, (4, 3)),
+                      jnp.float32)
+    a, md = pack_sorted(bspec, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mg = pack_sorted(_gather_spec(bspec), _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    assert b[1].shape == (bspec.num_slots, 32)   # ROW-major, 27→32 padded
+    img_a = rasterize(a, md, rspec_cm, sh_vecs=shv, use_pallas=True,
+                      interpret=True)
+    img_b = rasterize(b, mg, rspec_g, sh_vecs=shv, use_pallas=True,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
+                               atol=1e-6)
+    # jnp compositor consumes the row-major color block too
+    img_j = rasterize(b, mg, rspec_g, sh_vecs=shv, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_j),
+                               atol=1e-5)
+
+
+def test_gather_colors_full_grads_match(rng):
+    """All input gradients through the gather route == dense route, with
+    tight column caps exercising the v_rows < V gathered-window cut."""
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=120, color_dim=27)
+    rspec_cm = rspec._replace(channel_major=True)
+    rspec_g = rspec_cm._replace(color_row_major=True)
+    shv = jnp.asarray(np.random.default_rng(11).normal(0, 0.3, (4, 3)),
+                      jnp.float32)
+    _, meta = pack_sorted(_colcap_spec(bspec), _geom_n(proj, opa), color,
+                          proj.depth, proj.visible)
+    caps = [max(int(x), 1) for x in np.asarray(meta.col_fill)]
+
+    def loss(spec, rs):
+        def f(mean2d, cov2d, opa_, color_):
+            p = proj._replace(mean2d=mean2d, cov2d=cov2d)
+            pk, mt = pack_sorted(spec, _geom_n(p, opa_), color_,
+                                 p.depth, p.visible)
+            img = rasterize(pk, mt, rs, sh_vecs=shv, use_pallas=True,
+                            interpret=True)
+            return jnp.sum(img ** 2)
+        return f
+
+    args = (proj.mean2d, proj.cov2d, opa, color)
+    g1 = jax.grad(loss(bspec, rspec_cm), argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss(_gather_spec(bspec, caps), rspec_g),
+                  argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g1, g2, ("mean2d", "cov2d", "opa", "color")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5, err_msg=name)
+
+
+def test_gather_colors_rgb_matches_legacy(rng):
+    """gather_colors forced on for RGB (not the default) still matches."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    rspec_g = rspec._replace(channel_major=True, color_row_major=True)
+    a, _ = _render_legacy(proj, opa, color, bspec, rspec,
+                          use_pallas=True, interpret=True)
+    pk, mg = pack_sorted(_gather_spec(bspec), _geom_n(proj, opa), color,
+                         proj.depth, proj.visible)
+    b = rasterize(pk, mg, rspec_g, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def loss(opa_, color_):
+        pk2, mt = pack_sorted(_gather_spec(bspec), _geom_n(proj, opa_),
+                              color_, proj.depth, proj.visible)
+        img = rasterize(pk2, mt, rspec_g, use_pallas=True, interpret=True)
+        return jnp.sum(img ** 2)
+
+    def loss_legacy(opa_, color_):
+        img, _ = _render_legacy(proj, opa_, color_, bspec, rspec,
+                                use_pallas=True, interpret=True)
+        return jnp.sum(img ** 2)
+
+    g1 = jax.grad(loss_legacy, argnums=(0, 1))(opa, color)
+    g2 = jax.grad(loss, argnums=(0, 1))(opa, color)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_gather_colors_truncation_finite(rng):
+    """Slot-budget overflow through the gather route: finite image and
+    gradients (dropped candidates' color cotangents read the zero row)."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=80)
+    rspec_g = rspec._replace(channel_major=True, color_row_major=True)
+    small = _gather_spec(bspec)._replace(
+        slot_capacity=3 * bspec.chunk_size)
+    pk, meta = pack_sorted(small, _geom_n(proj, opa), color,
+                           proj.depth, proj.visible)
+    assert int(meta.n_dropped) > 0
+    img = rasterize(pk, meta, rspec_g, use_pallas=True, interpret=True)
+    assert np.isfinite(np.asarray(img)).all()
+
+    def loss(opa_, color_):
+        pk2, mt = pack_sorted(small, _geom_n(proj, opa_), color_,
+                              proj.depth, proj.visible)
+        return jnp.sum(rasterize(pk2, mt, rspec_g, use_pallas=True,
+                                 interpret=True))
+
+    g = jax.grad(loss, argnums=(0, 1))(opa, color)
+    assert np.isfinite(np.asarray(g[0])).all()
+    assert np.isfinite(np.asarray(g[1])).all()
+
+
+# ---------------------------------------------------------------------------
+# gather_geom: full gather route (payload sort carries only key+flat; BOTH
+# geometry and colors move by post-sort row gathers)
+# ---------------------------------------------------------------------------
+
+def _gather_geom_spec(bspec, caps=None):
+    return _colcap_spec(bspec, caps)._replace(gather_colors=True,
+                                              gather_geom=True)
+
+
+def test_gather_geom_matches_legacy_rgb(rng):
+    """Full gather route forward == legacy route, both raster backends."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    rspec_g = rspec._replace(channel_major=True, color_row_major=True,
+                             geom_row_major=True)
+    a, _ = _render_legacy(proj, opa, color, bspec, rspec,
+                          use_pallas=True, interpret=True)
+    pk, mg = pack_sorted(_gather_geom_spec(bspec), _geom_n(proj, opa),
+                         color, proj.depth, proj.visible)
+    assert pk[0].shape == (bspec.num_slots, 8)   # geometry ROW-major
+    b = rasterize(pk, mg, rspec_g, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    j = rasterize(pk, mg, rspec_g, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(j), atol=1e-5)
+
+
+def test_gather_geom_full_grads_match(rng):
+    """All input gradients through the full gather route == dense route,
+    with tight column caps exercising the v_rows < V gathered window."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=120)
+    rspec_cm = rspec._replace(channel_major=True)
+    rspec_g = rspec_cm._replace(color_row_major=True, geom_row_major=True)
+    _, meta = pack_sorted(_colcap_spec(bspec), _geom_n(proj, opa), color,
+                          proj.depth, proj.visible)
+    caps = [max(int(x), 1) for x in np.asarray(meta.col_fill)]
+
+    def loss(spec, rs):
+        def f(mean2d, cov2d, opa_, color_):
+            p = proj._replace(mean2d=mean2d, cov2d=cov2d)
+            pk, mt = pack_sorted(spec, _geom_n(p, opa_), color_,
+                                 p.depth, p.visible)
+            img = rasterize(pk, mt, rs, use_pallas=True, interpret=True)
+            return jnp.sum(img ** 2)
+        return f
+
+    args = (proj.mean2d, proj.cov2d, opa, color)
+    g1 = jax.grad(loss(bspec, rspec_cm), argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss(_gather_geom_spec(bspec, caps), rspec_g),
+                  argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g1, g2, ("mean2d", "cov2d", "opa", "color")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5, err_msg=name)
+
+
+def test_gather_geom_sh_matches_dense(rng):
+    """SH through the full gather route (2-operand sort) == dense route,
+    forward and gradients."""
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=90, color_dim=27)
+    rspec_cm = rspec._replace(channel_major=True)
+    rspec_g = rspec_cm._replace(color_row_major=True, geom_row_major=True)
+    shv = jnp.asarray(np.random.default_rng(5).normal(0, 0.3, (4, 3)),
+                      jnp.float32)
+    a, md = pack_sorted(bspec, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mg = pack_sorted(_gather_geom_spec(bspec), _geom_n(proj, opa),
+                        color, proj.depth, proj.visible)
+    img_a = rasterize(a, md, rspec_cm, sh_vecs=shv, use_pallas=True,
+                      interpret=True)
+    img_b = rasterize(b, mg, rspec_g, sh_vecs=shv, use_pallas=True,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
+                               atol=1e-6)
+
+    def loss(spec, rs):
+        def f(opa_, color_):
+            pk, mt = pack_sorted(spec, _geom_n(proj, opa_), color_,
+                                 proj.depth, proj.visible)
+            img = rasterize(pk, mt, rs, sh_vecs=shv, use_pallas=True,
+                            interpret=True)
+            return jnp.sum(img ** 2)
+        return f
+
+    g1 = jax.grad(loss(bspec, rspec_cm), argnums=(0, 1))(opa, color)
+    g2 = jax.grad(loss(_gather_geom_spec(bspec), rspec_g),
+                  argnums=(0, 1))(opa, color)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_gather_geom_truncation_finite(rng):
+    """Slot-budget overflow through the full gather route stays finite."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=80)
+    rspec_g = rspec._replace(channel_major=True, color_row_major=True,
+                             geom_row_major=True)
+    small = _gather_geom_spec(bspec)._replace(
+        slot_capacity=3 * bspec.chunk_size)
+    pk, meta = pack_sorted(small, _geom_n(proj, opa), color,
+                           proj.depth, proj.visible)
+    assert int(meta.n_dropped) > 0
+    img = rasterize(pk, meta, rspec_g, use_pallas=True, interpret=True)
+    assert np.isfinite(np.asarray(img)).all()
+
+    def loss(opa_, color_):
+        pk2, mt = pack_sorted(small, _geom_n(proj, opa_), color_,
+                              proj.depth, proj.visible)
+        return jnp.sum(rasterize(pk2, mt, rspec_g, use_pallas=True,
+                                 interpret=True))
+
+    g = jax.grad(loss, argnums=(0, 1))(opa, color)
+    assert np.isfinite(np.asarray(g[0])).all()
+    assert np.isfinite(np.asarray(g[1])).all()
+
+
 def test_px_split_identical(rng):
     """Sub-tile early stop (px_split=2) must not change the image beyond
     ulp-level fusion reassociation: the per-half gates only skip work whose
