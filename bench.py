@@ -60,6 +60,9 @@ def main():
                     help="full gather route: sort carries only (key, flat); "
                          "geometry rides the same post-sort row gather "
                          "(-1 auto: off; 0/1 force)")
+    ap.add_argument("--cull_sublsb", type=int, default=-1,
+                    help="sub-LSB pair cull (exact quadratic-over-box "
+                         "test; -1 auto: off; 0/1 force)")
     ap.add_argument("--render_preset", type=int, default=0,
                     help="also bench the bf16-packed render preset "
                          "(render-only: bf16 channel pairs as i32 sort "
@@ -93,7 +96,8 @@ def main():
     cfg = SplatConfig(use_pallas=True, use_sh_coeff=use_sh,
                       fused_pack=fused,
                       gather_colors=int(args.gather_colors),
-                      gather_geom=int(args.gather_geom))
+                      gather_geom=int(args.gather_geom),
+                      cull_sublsb=int(args.cull_sublsb))
     if args.chunk_size:
         cfg.chunk_size = int(args.chunk_size)
     if args.px_split:

@@ -108,6 +108,12 @@ class SplatConfig:
     # post-sort row gather as colors (ops/binning gather_geom).  -1 = auto
     # (currently off pending TPU A/B measurement); 0/1 force.
     gather_geom: int = -1
+    # Sub-LSB candidate cull: drop (gaussian, tile) pairs whose max alpha in
+    # the tile is < 1/510 — conservative exact quadratic-over-box test
+    # (ops/binning cull_sublsb).  Pair count drives sorts + kernel grid.
+    # -1 = auto (currently off pending TPU A/B + at-scale quality check);
+    # 0/1 force.
+    cull_sublsb: int = -1
 
     @property
     def tile_px(self) -> int:

@@ -182,6 +182,9 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
           and not bool(getattr(cfg, "packed_bf16", False)))
     gather_colors = gather_colors and ok
     gather_geom = gather_geom and ok
+    cs_flag = int(getattr(cfg, "cull_sublsb", -1))
+    cull_sublsb = (False if cs_flag == -1 else bool(cs_flag)) and fused \
+        and getattr(cfg, "plane_mode", "dense") == "colcap"
     bspec = BinningSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_len_x=grid.tile_geo_length_x, tile_len_y=grid.tile_geo_length_y,
@@ -198,6 +201,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         packed_bf16=bool(getattr(cfg, "packed_bf16", False)),
         gather_colors=gather_colors,
         gather_geom=gather_geom,
+        cull_sublsb=cull_sublsb,
     )
     if bspec.packed_bf16 and (bspec.plane_mode != "colcap"
                               or not getattr(cfg, "fused_pack", True)):

@@ -117,6 +117,16 @@ class BinningSpec(NamedTuple):
     # payloads (~1 ms each per 2M pairs) for one 32-B row gather
     # (~5 ns/row at slot scale) per direction.
     gather_geom: bool = False
+    # Sub-LSB candidate cull (colcap only): drop (gaussian, tile) pairs whose
+    # maximum alpha anywhere in the tile is below 1/510 — half an 8-bit LSB,
+    # sub-visible by construction.  The exact convex-quadratic-over-box
+    # minimum (``_q_min_box``) makes the test conservative: a pair is culled
+    # ONLY if opa·exp(−q) < 1/510 over the whole tile rect (the mean's own
+    # tile is always kept).  The bbox test (gaussian.cu:217-243) is
+    # opacity-blind and rectangle-blind, so elongated/diagonal and
+    # post-opacity-reset gaussians carry many dead pairs — and pair count is
+    # THE cost driver (sorts, chunk grid, kernel time all scale with it).
+    cull_sublsb: bool = False
 
     @property
     def n_tiles(self) -> int:
@@ -220,6 +230,36 @@ def _tile_bbox_rows(spec: BinningSpec, cx, cy, a, b, c, d, visible):
     rw = jnp.where(valid, jnp.maximum(x1 - x0, 0), 0)
     rh = jnp.where(valid, jnp.maximum(y1 - y0, 0), 0)
     return x0, y0, rw, rh
+
+
+_DET_EPS = 1e-14         # matches rasterize.DET_EPS (gaussian.cu:920)
+_SUBLSB_ALPHA = 1.0 / 510.0   # half an 8-bit LSB: sub-visible with margin
+
+
+def _q_min_box(a, b, c, d, lx, ux, ly, uy):
+    """Exact minimum of Q(dx,dy) = d·dx² − (b+c)·dx·dy + a·dy² over the box
+    [lx,ux]×[ly,uy] — the (unnormalized) kernel exponent of _chunk_alpha.
+
+    Q is convex for PSD covariances, so the constrained minimum is 0 when
+    the origin (the gaussian mean) lies in the box, else it sits on one of
+    the four edges, each a 1-D quadratic minimized in closed form.  All
+    branchless elementwise ops — ~40 VPU plane-ops per candidate.
+    """
+    A, B, C = d, -(b + c), a
+    eps = jnp.float32(1e-20)
+
+    def edge_dx(e):  # dx fixed at e: min over dy
+        dy = jnp.clip(-B * e / (2.0 * C + eps), ly, uy)
+        return A * e * e + B * e * dy + C * dy * dy
+
+    def edge_dy(e):  # dy fixed at e: min over dx
+        dx = jnp.clip(-B * e / (2.0 * A + eps), lx, ux)
+        return A * dx * dx + B * dx * e + C * e * e
+
+    qb = jnp.minimum(jnp.minimum(edge_dx(lx), edge_dx(ux)),
+                     jnp.minimum(edge_dy(ly), edge_dy(uy)))
+    inside = (lx <= 0) & (ux >= 0) & (ly <= 0) & (uy >= 0)
+    return jnp.where(inside, 0.0, jnp.maximum(qb, 0.0))
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -410,6 +450,8 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
     """Forward implementation; returns (packed, meta, residuals)."""
     assert not spec.gather_colors, \
         "gather_colors requires plane_mode='colcap'"
+    assert not spec.cull_sublsb, \
+        "cull_sublsb requires plane_mode='colcap'"
     n = depth.shape[0]
     K, G, T = spec.max_tiles_per_gaussian, spec.chunk_size, spec.n_tiles
     V = min(spec.visible_rows or n, n)
@@ -702,6 +744,24 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
             d2 = ((geom_t[0, :cpk] - tcx) ** 2
                   + (geom_t[1, :cpk] - tcy) ** 2)
             valid_k = valid_k & (d2 < spec.thresh)
+        if spec.cull_sublsb:
+            # keep the pair only if its alpha can exceed half an LSB
+            # somewhere in the tile rect: opa·exp(−Qmin/pn) ≥ 1/510
+            rx0 = spec.leftmost + (x0[:cpk] + kx).astype(jnp.float32) \
+                * spec.tile_len_x
+            ry0 = spec.topmost + (y0[:cpk] + ky).astype(jnp.float32) \
+                * spec.tile_len_y
+            cxk, cyk = geom_t[0, :cpk], geom_t[1, :cpk]
+            ak, bk = geom_t[2, :cpk], geom_t[3, :cpk]
+            ck_, dk = geom_t[4, :cpk], geom_t[5, :cpk]
+            qmin = _q_min_box(ak, bk, ck_, dk,
+                              rx0 - cxk, rx0 + spec.tile_len_x - cxk,
+                              ry0 - cyk, ry0 + spec.tile_len_y - cyk)
+            pn = 2.0 * (ak * dk - bk * ck_) + _DET_EPS
+            iso = jnp.maximum(
+                jnp.log(jnp.maximum(geom_t[6, :cpk], 1e-12)
+                        / _SUBLSB_ALPHA), 0.0)
+            valid_k = valid_k & (qmin <= pn * iso)
         key_k = jnp.where(
             valid_k,
             jnp.left_shift(tile_k, rb) | (rank[:cpk] >> shift), sent)

@@ -860,6 +860,11 @@ def build_argparser():
                         "post-sort row gather as colors (-1 auto: off "
                         "pending TPU A/B; 0/1 force; implies "
                         "--gather_colors)")
+    p.add_argument("--cull_sublsb", type=int, default=-1,
+                   help="drop (gaussian, tile) pairs whose max alpha in "
+                        "the tile is sub-LSB (< 1/510), by an exact "
+                        "conservative quadratic-over-box test (-1 auto: "
+                        "off pending A/B; 0/1 force)")
     p.add_argument("--scale_reg", type=float, default=0.0)
     p.add_argument("--opa_reg", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=t.seed)
@@ -913,6 +918,7 @@ def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
         fused_pack=True if a.fused_pack < 0 else bool(a.fused_pack),
         gather_colors=a.gather_colors,
         gather_geom=a.gather_geom,
+        cull_sublsb=a.cull_sublsb,
         opa_init_value=a.opa_init_value,
         scale_init_value=a.scale_init_value,
         tile_culling_method=a.tile_culling_method,

@@ -551,6 +551,85 @@ def test_gather_geom_truncation_finite(rng):
     assert np.isfinite(np.asarray(g[1])).all()
 
 
+# ---------------------------------------------------------------------------
+# cull_sublsb: sub-LSB pair cull (exact conservative quadratic-over-box min)
+# ---------------------------------------------------------------------------
+
+def test_q_min_box_matches_bruteforce(rng):
+    """Closed-form box minimum of the kernel exponent == dense-grid min."""
+    from gsplat_tpu.ops.binning import _q_min_box
+    r = np.random.default_rng(3)
+    for _ in range(50):
+        # random PSD covariance (a, b, c, d) with b == c
+        m_ = r.normal(0, 1, (2, 2))
+        cov = m_ @ m_.T + 0.05 * np.eye(2)
+        a, b, c, d = cov[0, 0], cov[0, 1], cov[1, 0], cov[1, 1]
+        lx, ly = r.uniform(-3, 1, 2)
+        ux, uy = lx + r.uniform(0.1, 3), ly + r.uniform(0.1, 3)
+        got = float(_q_min_box(*[jnp.float32(v) for v in (a, b, c, d)],
+                               jnp.float32(lx), jnp.float32(ux),
+                               jnp.float32(ly), jnp.float32(uy)))
+        gx = np.linspace(lx, ux, 201)
+        gy = np.linspace(ly, uy, 201)
+        dx, dy = np.meshgrid(gx, gy)
+        q = d * dx ** 2 - (b + c) * dx * dy + a * dy ** 2
+        ref = float(q.min())
+        # closed form is exact; the grid only samples, so it can only
+        # OVERestimate the true min
+        assert got <= ref + 1e-4, (got, ref)
+        assert got >= ref - 0.15 * max(ref, 1.0), (got, ref)
+
+
+def test_cull_sublsb_subvisible_only(rng):
+    """The cull drops pairs (n_pairs strictly falls on a scene with low-opa
+    and elongated gaussians) and the image moves by less than an 8-bit LSB
+    anywhere — the culled pairs were sub-visible by construction."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=200)
+    # push a third of the gaussians to near-reset opacity: their footprint
+    # shrinks a lot under the opacity-aware iso level
+    opa = jnp.asarray(np.where(np.arange(200) % 3 == 0, 0.008,
+                               np.asarray(opa)), jnp.float32)
+    rspec_cm = rspec._replace(channel_major=True)
+    base = _colcap_spec(bspec)
+    culled = base._replace(cull_sublsb=True)
+    a, ma = pack_sorted(base, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mb = pack_sorted(culled, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    assert int(mb.n_pairs) < int(ma.n_pairs), \
+        (int(mb.n_pairs), int(ma.n_pairs))
+    img_a = rasterize(a, ma, rspec_cm, use_pallas=True, interpret=True)
+    img_b = rasterize(b, mb, rspec_cm, use_pallas=True, interpret=True)
+    diff = np.abs(np.asarray(img_a) - np.asarray(img_b))
+    # each culled pair contributes < 1/510 per pixel; a handful can stack,
+    # but staying within one LSB of 8-bit means render-indistinguishable
+    assert diff.max() < 1.0 / 255.0, diff.max()
+
+
+def test_cull_sublsb_grads_finite_and_close(rng):
+    """Training through the cull: gradients stay finite and match the
+    uncalled route to sub-LSB scale."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=120)
+    rspec_cm = rspec._replace(channel_major=True)
+
+    def loss(spec):
+        def f(opa_, color_):
+            pk, mt = pack_sorted(spec, _geom_n(proj, opa_), color_,
+                                 proj.depth, proj.visible)
+            img = rasterize(pk, mt, rspec_cm, use_pallas=True,
+                            interpret=True)
+            return jnp.mean(img ** 2)
+        return f
+
+    g1 = jax.grad(loss(_colcap_spec(bspec)), argnums=(0, 1))(opa, color)
+    g2 = jax.grad(loss(_colcap_spec(bspec)._replace(cull_sublsb=True)),
+                  argnums=(0, 1))(opa, color)
+    for a, b in zip(g1, g2):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=0.05)
+
+
 def test_px_split_identical(rng):
     """Sub-tile early stop (px_split=2) must not change the image beyond
     ulp-level fusion reassociation: the per-half gates only skip work whose
