@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-3c TPU pipeline: A/B matrix (gather route + sub-LSB cull), then the
+# at-scale SH quality run (the reference quality config's analogue,
+# README.md:44-48).  Each bench phase runs in its own process so every graph
+# compiles alone and the persistent compile cache accumulates.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/.axon_site:/root/repo
+L=/tmp/bench_ab_r3c.log
+: > $L
+
+# wait for the TPU backend (tunnel can be down for a while)
+for i in $(seq 1 600); do
+  timeout 420 python -c "import jax; jax.devices()" >> $L 2>&1 && break
+  echo "--- tpu not up (attempt $i)" >> $L
+  sleep 60
+done
+
+run() { echo "=== $* ===" >> $L; timeout 2700 python bench.py "$@" >> $L 2>&1; echo "rc=$?" >> $L; }
+run                                                    # RGB baseline (train+render)
+run --cull_sublsb 1                                    # RGB + sub-LSB cull
+run --gather_geom 1                                    # RGB full gather route
+run --gather_geom 1 --cull_sublsb 1                    # both
+run --phase render --render_preset 1                   # bf16 preset (sanity)
+run --phase train --use_sh_coeff 1                     # SH fused+gather_colors (new default)
+run --phase render --use_sh_coeff 1                    # SH render FPS
+run --phase train --use_sh_coeff 1 --gather_geom 1     # SH full gather
+run --phase render --use_sh_coeff 1 --gather_geom 1
+echo "ALL DONE" >> $L
+
+# ---- fresh stage trace of the winning-route candidates --------------------
+P=/tmp/profile_fused_r3c.log
+: > $P
+prof() { echo "=== $* ===" >> $P; timeout 2700 python scripts/profile_fused.py "$@" >> $P 2>&1; echo "rc=$?" >> $P; }
+prof                                       # RGB default route
+prof --gather_geom 1 --cull_sublsb 1       # full gather + cull
+echo "PROF DONE" >> $P
+
+# ---- at-scale SH quality run (crash-supervised inside the runner) --------
+sleep 30
+timeout 21600 python scripts/run_garden_7k.py --use_sh_coeff 1 \
+  --exp runs/7k_garden_sh > /tmp/run7k_sh.log 2>&1
+echo "SH RUN rc=$?" >> /tmp/run7k_sh.log
