@@ -80,6 +80,11 @@ def main():
     ap.add_argument("--px_split", type=int, default=0,
                     help="sub-tile early-stop lane splits in the forward "
                          "kernel (0 = config default)")
+    ap.add_argument("--n_gauss", type=int, default=0,
+                    help="override gaussian count (0 = headline 506,627 "
+                         "fast config; the reference quality config is "
+                         "~2.4M, README.md:14,48 — bench with "
+                         "--n_gauss 2400000 --phase render)")
     args = ap.parse_args()
     use_sh = bool(args.use_sh_coeff)
 
@@ -91,6 +96,8 @@ def main():
     else:  # CI / CPU smoke: tiny proxy
         n_gauss, w, h, focal = 20_000, 320, 240, 260.0
         m_cams, k_small, k_big = 8, 1, 3
+    if args.n_gauss:
+        n_gauss = int(args.n_gauss)
 
     fused = True if args.fused_pack < 0 else bool(args.fused_pack)
     cfg = SplatConfig(use_pallas=True, use_sh_coeff=use_sh,
@@ -219,10 +226,12 @@ def main():
     # ---------------- train it/s (scan over steps, one dispatch) --------
     if args.phase == "render":
         print(json.dumps({
-            "metric": ("render_fps@506k_gaussians_1297x840"
+            "metric": (f"render_fps@{n_gauss//1000}k_gaussians_{w}x{h}"
                        + ("_sh" if use_sh else "")),
             "value": round(fps, 2), "unit": "fps",
-            "vs_baseline": round(fps / 60.0, 3),
+            # fast config: 60 FPS headline; quality scale (>=2M): 24.7-25.4
+            "vs_baseline": round(fps / (25.0 if n_gauss >= 2_000_000
+                                        else 60.0), 3),
             "backend": jax.default_backend(), "n_gaussians": n_gauss,
             "resolution": f"{w}x{h}",
             "color": "sh27" if use_sh else "rgb",
