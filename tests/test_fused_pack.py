@@ -630,6 +630,42 @@ def test_cull_sublsb_grads_finite_and_close(rng):
                                    atol=5e-3, rtol=0.05)
 
 
+def test_cull_sublsb_with_gather_geom(rng):
+    """The cull composes with the full gather route (the A/B's combined
+    variant): sub-LSB image delta vs the unculled gather render, finite
+    matching grads, and pairs strictly fall."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    opa = jnp.asarray(np.where(np.arange(150) % 3 == 0, 0.008,
+                               np.asarray(opa)), jnp.float32)
+    rspec_g = rspec._replace(channel_major=True, color_row_major=True,
+                             geom_row_major=True)
+    base = _gather_geom_spec(bspec)
+    culled = base._replace(cull_sublsb=True)
+    a, ma = pack_sorted(base, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mb = pack_sorted(culled, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    assert int(mb.n_pairs) < int(ma.n_pairs)
+    img_a = rasterize(a, ma, rspec_g, use_pallas=True, interpret=True)
+    img_b = rasterize(b, mb, rspec_g, use_pallas=True, interpret=True)
+    assert np.abs(np.asarray(img_a) - np.asarray(img_b)).max() < 1.0 / 255.0
+
+    def loss(spec):
+        def f(opa_, color_):
+            pk, mt = pack_sorted(spec, _geom_n(proj, opa_), color_,
+                                 proj.depth, proj.visible)
+            return jnp.mean(rasterize(pk, mt, rspec_g, use_pallas=True,
+                                      interpret=True) ** 2)
+        return f
+
+    g1 = jax.grad(loss(base), argnums=(0, 1))(opa, color)
+    g2 = jax.grad(loss(culled), argnums=(0, 1))(opa, color)
+    for ga, gb in zip(g1, g2):
+        assert np.isfinite(np.asarray(gb)).all()
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=5e-3, rtol=0.05)
+
+
 def test_px_split_identical(rng):
     """Sub-tile early stop (px_split=2) must not change the image beyond
     ulp-level fusion reassociation: the per-half gates only skip work whose
