@@ -37,7 +37,13 @@ prof --gather_geom 1 --cull_sublsb 1       # full gather + cull
 echo "PROF DONE" >> $P
 
 # ---- at-scale SH quality run (crash-supervised inside the runner) --------
+# route choice: fused+gather_colors if its A/B train phase produced a JSON
+# result (i.e. the graph compiled); else the known-compiling legacy binning
 sleep 30
+SH_ROUTE="--fused_pack 0"
+grep -q '"metric": "train_it_per_s@506k_gaussians_1297x840_sh"' $L \
+  && SH_ROUTE=""
+echo "SH ROUTE: ${SH_ROUTE:-fused-default}" > /tmp/run7k_sh.log
 timeout 21600 python scripts/run_garden_7k.py --use_sh_coeff 1 \
-  --exp runs/7k_garden_sh > /tmp/run7k_sh.log 2>&1
+  --exp runs/7k_garden_sh $SH_ROUTE >> /tmp/run7k_sh.log 2>&1
 echo "SH RUN rc=$?" >> /tmp/run7k_sh.log

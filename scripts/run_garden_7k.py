@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--exp", default="runs/7k_garden")
     ap.add_argument("--n_iters", type=int, default=7001)
     ap.add_argument("--use_sh_coeff", type=int, default=0)
+    ap.add_argument("--fused_pack", type=int, default=-1,
+                    help="route pass-through (-1 auto; 0 legacy binning — "
+                         "the known-compiling SH fallback; 1 fused)")
+    ap.add_argument("--gather_geom", type=int, default=-1)
+    ap.add_argument("--cull_sublsb", type=int, default=-1)
     ap.add_argument("--metrics_every", type=int, default=50)
     ap.add_argument("--resume", type=int, default=1,
                     help="resume from {exp}/full_state.npz when present")
@@ -66,6 +71,9 @@ def main():
         "--grad_accum_method", "mean", "--grad_accum_iters", "300",
         "--split_thresh", "0.08",
         "--use_sh_coeff", str(args.use_sh_coeff),
+        "--fused_pack", str(args.fused_pack),
+        "--gather_geom", str(args.gather_geom),
+        "--cull_sublsb", str(args.cull_sublsb),
         # the synthetic garden init carries a fat tail of huge splats
         # (n_max_tiles ~ half the grid); growing K after them explodes the
         # candidate plane, and the clip fail-safe costs little quality
