@@ -208,6 +208,12 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         raise ValueError("packed_bf16 requires fused_pack + plane_mode="
                          "'colcap' (the packed payloads are built by "
                          "pack_sorted's column-compacted plane)")
+    px_split = int(getattr(cfg, "px_split", 1))
+    if px_split > 1 and (grid.tile_h * grid.tile_w) % px_split != 0:
+        raise ValueError(
+            f"px_split={px_split} must divide the tile pixel count "
+            f"{grid.tile_h * grid.tile_w}: remainder pixel lanes would "
+            f"silently never be composited")
     rspec = RasterSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_h=grid.tile_h, tile_w=grid.tile_w,
@@ -375,6 +381,12 @@ class Splatter:
         fused = bool(getattr(self.cfg, "fused_pack", True))
         floor = 0 if fused else bspec.n_tiles * g
         extra = bspec.slot_capacity - floor
+        # the legacy route's n_slots_used signal (nc_used*G) counts the
+        # mandatory one-chunk-per-tile floor (nchunk_t = max(ceil, 1), and
+        # slot_capacity reserves exactly one chunk per tile for it);
+        # subtract it so the comparison against the pairs-only budget is
+        # like-for-like
+        n_slots = max(n_slots - floor, 0)
         gsq = max(growth, 1.0) ** 2
         target = self._ladder(n_slots * 1.35 * gsq)
         if ((extra < n_slots * 1.1 or extra > target * 2.9)

@@ -175,38 +175,19 @@ def _tile_bbox(spec: BinningSpec, mean2d, cov2d, visible):
 
     Mirrors gaussian.cu:217-243: the iso-probability ellipse AABB, converted
     to tile indices with truncation semantics, clamped to the grid.
+    Delegates to :func:`_tile_bbox_rows` (single copy of the parity-critical
+    bbox math).
     """
-    a, b, c, d = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2], cov2d[:, 3]
-    det = a * d - b * c
-    det_ok = det > 0
-    if spec.method in ("prob2", "prob"):
-        log_t = -2.0 * math.log(spec.thresh)
-        shift_x = jnp.sqrt(jnp.maximum(a * log_t, 0.0))
-        shift_y = jnp.sqrt(jnp.maximum(d * log_t, 0.0))
-    else:  # "dist": fixed radius around the center (gaussian.cu:124-128)
-        r = math.sqrt(spec.thresh)
-        shift_x = jnp.full_like(a, r)
-        shift_y = jnp.full_like(a, r)
-        det_ok = jnp.ones_like(det_ok)
-    cx, cy = mean2d[:, 0], mean2d[:, 1]
-    # tile index range, truncation to match the uint casts in gaussian.cu:241-242
-    x0 = jnp.floor((cx - shift_x - spec.leftmost) / spec.tile_len_x)
-    x1 = jnp.floor((cx + shift_x - spec.leftmost) / spec.tile_len_x) + 1.0
-    y0 = jnp.floor((cy - shift_y - spec.topmost) / spec.tile_len_y)
-    y1 = jnp.floor((cy + shift_y - spec.topmost) / spec.tile_len_y) + 1.0
-    x0 = jnp.clip(x0, 0, spec.n_tile_x).astype(jnp.int32)
-    x1 = jnp.clip(x1, 0, spec.n_tile_x).astype(jnp.int32)
-    y0 = jnp.clip(y0, 0, spec.n_tile_y).astype(jnp.int32)
-    y1 = jnp.clip(y1, 0, spec.n_tile_y).astype(jnp.int32)
-    valid = visible & det_ok
-    rw = jnp.where(valid, jnp.maximum(x1 - x0, 0), 0)
-    rh = jnp.where(valid, jnp.maximum(y1 - y0, 0), 0)
-    return x0, y0, rw, rh
+    return _tile_bbox_rows(
+        spec, mean2d[:, 0], mean2d[:, 1], cov2d[:, 0], cov2d[:, 1],
+        cov2d[:, 2], cov2d[:, 3], visible)
 
 
 def _tile_bbox_rows(spec: BinningSpec, cx, cy, a, b, c, d, visible):
     """:func:`_tile_bbox` on channel-major rows ((V,) arrays) — all
-    elementwise, no strided column slices."""
+    elementwise, no strided column slices.  Truncation/clamp semantics
+    match the uint casts in gaussian.cu:241-242; "dist" uses a fixed
+    radius around the center (gaussian.cu:124-128)."""
     det = a * d - b * c
     det_ok = det > 0
     if spec.method in ("prob2", "prob"):
@@ -761,7 +742,12 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
             iso = jnp.maximum(
                 jnp.log(jnp.maximum(geom_t[6, :cpk], 1e-12)
                         / _SUBLSB_ALPHA), 0.0)
-            valid_k = valid_k & (qmin <= pn * iso)
+            # conservative contract: cull only when PROVABLY sub-visible.
+            # det <= 0 covariances (possible under method="dist", whose
+            # bbox stage skips the det check) make pn negative and the
+            # iso test unsatisfiable even at the mean — keep those pairs
+            # (the rasterizer still draws them via _chunk_alpha's clamp)
+            valid_k = valid_k & ((pn <= 0) | (qmin <= pn * iso))
         key_k = jnp.where(
             valid_k,
             jnp.left_shift(tile_k, rb) | (rank[:cpk] >> shift), sent)
@@ -990,27 +976,12 @@ def _pack_sorted_bwd(spec, residuals, cts):
     else:
         geom_out = out[1:8]
 
-    if spec.plane_mode == "colcap":
-        def reduce_rows(col):
-            # column-major plane: column k's grads live at a static slice;
-            # the per-row reduction over covered columns is K slice-adds at
-            # row scale (no pair-scale gathers)
-            acc = jnp.zeros((v_rows,), col.dtype)
-            off = 0
-            for cpk in caps:
-                seg = col[off:off + cpk]
-                if cpk < v_rows:
-                    seg = jnp.concatenate(
-                        [seg, jnp.zeros((v_rows - cpk,), col.dtype)])
-                acc = acc + seg
-                off += cpk
-            return acc
-    else:
-        def reduce_rows(col):  # candidate order → (V,) depth-row sums
-            return col[:P].reshape(V, K).sum(axis=1)
-
     def reduce_rows_2d(cand):
-        # 2D per-column slice-adds: candidate order → (v_rows, C) row sums
+        # per-column slice-adds: candidate order → (v_rows, ...) row sums.
+        # column k's grads live at a static slice of the column-major plane,
+        # so the per-row reduction over covered columns is K slice-adds at
+        # row scale (no pair-scale gathers).  Shape-generic: accepts (P,)
+        # cotangent rows and (P, C) row blocks alike.
         acc = jnp.zeros((v_rows,) + cand.shape[1:], cand.dtype)
         off = 0
         for cpk in caps:
@@ -1022,6 +993,12 @@ def _pack_sorted_bwd(spec, residuals, cts):
             acc = acc + seg
             off += cpk
         return acc
+
+    if spec.plane_mode == "colcap":
+        reduce_rows = reduce_rows_2d
+    else:
+        def reduce_rows(col):  # candidate order → (V,) depth-row sums
+            return col[:P].reshape(V, K).sum(axis=1)
 
     if gather_g:
         # geometry cotangent (S, 8) ROW-major → one row gather, 2D reduce;

@@ -417,6 +417,9 @@ def _fwd_kernel(spec: RasterSpec,
             accum_ref[0:1, h0:h0 + hw] = trans[-1:, :] * one_m[-1:, :]
 
         nsplit = max(int(spec.px_split), 1)
+        assert spec.px % nsplit == 0, \
+            (f"px_split={nsplit} must divide the tile pixel count "
+             f"{spec.px} (remainder lanes would silently never composite)")
         if nsplit == 1:
             half_body(0, spec.px)
         else:
@@ -477,6 +480,9 @@ def _bwd_kernel(spec: RasterSpec,
         gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
         slot_ok = gidx < clen_ref[i]
         nsplit = max(int(spec.px_split), 1)
+        assert spec.px % nsplit == 0, \
+            (f"px_split={nsplit} must divide the tile pixel "
+             f"count {spec.px}")
 
         def half_body(h0, hw, accumulate):
             alpha, prob, aux = _chunk_alpha(

@@ -739,6 +739,12 @@ class Trainer:
     def train(self, n_iters=None, metrics_every=20, log=print, start=0):
         t = self.tcfg
         n_iters = n_iters or t.n_iters
+        if (start > 400 and t.render_downsample_start != t.render_downsample
+                and self.splat.cfg.render_downsample != t.render_downsample):
+            # crash-resume past the iter-400 pyramid switch: the fresh
+            # Splatter was built at the warm-start level, re-apply the switch
+            self.splat.switch_resolution(t.render_downsample)
+            self._rebuild_after_capacity_change()
         t_start = time.perf_counter()
         i = start
         while i < n_iters:
@@ -776,7 +782,7 @@ class Trainer:
                     self._rebuild_after_capacity_change()
             self.history["l1"].append(float(m["l1"]))
             self.history["psnr"].append(float(m["psnr"]))
-            its = (j + 1) / (time.perf_counter() - t_start)
+            its = (j + 1 - start) / (time.perf_counter() - t_start)
             log(f"iter {j}: l1={float(m['l1']):.4f} "
                 f"psnr={float(m['psnr']):.2f} "
                 f"pairs={int(m['n_pairs'])} {its:.1f} it/s")

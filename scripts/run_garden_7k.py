@@ -107,10 +107,19 @@ def main():
                          trainer.splat.table.capacity))
         log(f"densify @{i_iter}: n_live={cap_traj[-1][1]} "
             f"capacity={cap_traj[-1][2]} t={time.time()-t0:.0f}s")
-        if i_iter % 200 == 0:
-            trainer.save_full(full_path, i_iter)  # crash-resumable
 
     trainer._densify = densify_logged
+    orig_post = trainer._post_step
+
+    def post_save(i_iter):
+        # save AFTER the full post-step so a same-iteration opacity reset
+        # is inside the checkpoint (saving inside the densify hook lost it:
+        # resume would skip the reset and diverge from the schedule)
+        orig_post(i_iter)
+        if i_iter % 200 == 0 and i_iter > 0:
+            trainer.save_full(full_path, i_iter)  # crash-resumable
+
+    trainer._post_step = post_save
     trainer.train(metrics_every=a.metrics_every, log=log, start=start)
     wall = time.time() - t0
     ev = trainer.evaluate()

@@ -717,3 +717,23 @@ def test_px_split_grads_match(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-5)
+
+
+def test_cull_sublsb_keeps_degenerate_covs_dist_method(rng):
+    """Under method="dist" (whose bbox stage skips the det check) a det<=0
+    covariance makes the iso test unsatisfiable (pn < 0); the conservative
+    contract requires KEEPING such pairs — the rasterizer still draws them
+    via _chunk_alpha's clamp."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=60)
+    cov = np.array(proj.cov2d)
+    cov[:, 3] = -0.5 * cov[:, 0]          # d = -a/2  ->  det < 0 everywhere
+    proj = proj._replace(cov2d=jnp.asarray(cov))
+    base = _colcap_spec(bspec)._replace(
+        method="dist", thresh=(3.0 * bspec.tile_len_x) ** 2)
+    culled = base._replace(cull_sublsb=True)
+    _, ma = pack_sorted(base, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    _, mb = pack_sorted(culled, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    assert int(ma.n_pairs) > 0
+    assert int(mb.n_pairs) == int(ma.n_pairs)

@@ -133,3 +133,44 @@ def test_retune_visible_rows_bounds(splat):
     splat.retune_visible_rows(100)
     v = splat.cfg.visible_rows
     assert v is None or v >= 110  # margin over observation
+
+
+def test_retune_pair_capacity_legacy_floor_accounting(splat):
+    """The legacy route's n_slots_used signal (nc_used*G) counts the
+    mandatory one-chunk-per-tile floor; the controller must subtract it
+    before comparing against the pairs-only budget, or it permanently
+    over-provisions by ~1.35x the floor."""
+    old_fused = splat.cfg.fused_pack
+    old_pc = splat.cfg.pair_capacity
+    try:
+        splat.cfg.fused_pack = False
+        splat.cfg.pair_capacity = None     # untuned: generous initial guess
+        splat._specs_cache.clear()
+        bspec, _ = splat.specs()
+        g = splat.cfg.chunk_size
+        floor = bspec.n_tiles * g
+        # observed requirement: the floor plus a small real-pairs tail
+        splat.retune_pair_capacity(floor + 2000)
+        pc = splat.cfg.pair_capacity
+        assert pc is not None
+        # budget must track the 2000 real pairs (x1.35 margin, ladder-
+        # rounded), NOT floor + 2000 (the bug inflated it by the floor)
+        assert pc == splat._ladder(2000 * 1.35), (pc, floor)
+    finally:
+        splat.cfg.fused_pack = old_fused
+        splat.cfg.pair_capacity = old_pc
+        splat._specs_cache.clear()
+
+
+def test_px_split_must_divide_tile_pixels(splat):
+    """px_split values that don't divide the tile pixel count would
+    silently drop the remainder pixel lanes — must be rejected early."""
+    old = getattr(splat.cfg, "px_split", 1)
+    try:
+        splat.cfg.px_split = 3       # 256 % 3 != 0
+        splat._specs_cache.clear()
+        with pytest.raises(ValueError, match="px_split"):
+            splat.specs()
+    finally:
+        splat.cfg.px_split = old
+        splat._specs_cache.clear()

@@ -138,3 +138,32 @@ def test_evaluate_and_checkpoint(scene, tmp_path):
     from gsplat_tpu.utils.checkpoint import load_checkpoint
     t = load_checkpoint(p, capacity_round=128)
     assert int(t.n_live) == int(tr.splat.table.n_live)
+
+
+def test_resume_reapplies_pyramid_switch(scene):
+    """Crash-resume past the iter-400 pyramid switch must re-apply it: the
+    fresh Splatter is built at render_downsample_start, and without the
+    guard the rest of the run silently trains at the warm-start level."""
+    sp = _splat(scene)
+    tcfg = TrainConfig(n_iters=401, n_iters_warmup=5, n_iters_test=0,
+                       n_save_train_img=0, n_adaptive_control=10**9,
+                       render_downsample_start=8, render_downsample=4,
+                       seed=1)
+    tr = Trainer(sp, tcfg, interpret=True)
+    calls = []
+    sp.switch_resolution = lambda f: calls.append(f)
+    # configs_from_args builds the Splatter at the warm-start level
+    sp.cfg.render_downsample = 8
+    # resumed past 400: guard fires before the (empty) loop
+    tr.train(n_iters=401, start=401)
+    assert calls == [4]
+    # already at the target level: no redundant switch/recompile
+    sp.cfg.render_downsample = 4
+    calls.clear()
+    tr.train(n_iters=401, start=401)
+    assert calls == []
+    # fresh run from 0: the guard must NOT pre-apply the switch
+    sp.cfg.render_downsample = 8
+    calls.clear()
+    tr.train(n_iters=1, start=0)
+    assert calls == []
