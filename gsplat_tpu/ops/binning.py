@@ -107,15 +107,19 @@ class BinningSpec(NamedTuple):
     # color block comes out ROW-major — consume with a raster spec carrying
     # ``color_row_major=True``.
     gather_colors: bool = False
-    # Full gather route (requires gather_colors): geometry does not ride the
-    # payload sort either — the sort carries only (key, flat), TWO operands
-    # regardless of channel width, and BOTH blocks are produced by post-sort
-    # row gathers through the same slot→source-row map.  The geometry block
-    # comes out ROW-major (S, 8) — consume with ``geom_row_major=True``.
-    # Backward: the inverse sort carries one iota payload; geometry and
-    # color cotangents move with one row gather each.  Trades ~7 sort
-    # payloads (~1 ms each per 2M pairs) for one 32-B row gather
-    # (~5 ns/row at slot scale) per direction.
+    # Full gather route (requires gather_colors): geometry does not ride a
+    # payload sort either — the forward runs ONE stable (key, flat) sort at
+    # real-pair scale (no alignment-pad rows: slots map to sorted positions
+    # analytically from the chunk metadata, since tile segments are
+    # G-aligned by construction), and BOTH channel blocks are produced by
+    # post-sort row gathers through the same slot→source-row map.  The
+    # geometry block comes out ROW-major (S, 8) — consume with
+    # ``geom_row_major=True``.  Backward: one (flat, slot) sort inverts the
+    # permutation; geometry and color cotangents move with one row gather
+    # each.  vs the ride-the-sort default this trades ~7 sort payloads +
+    # one key-only metadata sort + T·(G−1) pad rows (~0.4·P at Garden
+    # scale) for one 32-B row gather (~5 ns/row at slot scale) per
+    # direction.
     gather_geom: bool = False
     # Sub-LSB candidate cull (colcap only): drop (gaussian, tile) pairs whose
     # maximum alpha anywhere in the tile is below 1/510 — half an 8-bit LSB,
@@ -783,7 +787,18 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     n_pairs = jnp.sum(pair_key < sent)
 
     # ---- key-only sort → per-tile counts + chunk metadata ---------------
-    sorted_key = jax.lax.sort((pair_key,), num_keys=1, is_stable=False)[0]
+    # full gather route: ONE stable (key, flat) sort serves both the
+    # metadata (its sorted keys) and the slot map (its sorted flat ids) —
+    # the separate key-only sort AND the padded payload sort disappear
+    # (pads were T·(G−1) ≈ 0.4·P dead rows riding every sort operand;
+    # slots map to sorted positions analytically, see below)
+    if spec.gather_geom:
+        sorted_key, sorted_flat = jax.lax.sort(
+            (pair_key, jnp.concatenate(flat_parts)),
+            num_keys=1, is_stable=True)
+    else:
+        sorted_key = jax.lax.sort((pair_key,), num_keys=1,
+                                  is_stable=False)[0]
     bounds = jnp.left_shift(jnp.arange(T + 1, dtype=jnp.int32), rb)
     starts = jnp.searchsorted(sorted_key, bounds).astype(jnp.int32)
     counts = jnp.diff(starts)                              # (T,)
@@ -809,33 +824,56 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         jnp.clip(counts[tile_of_chunk] - chunk_within * G, 0, G),
         0).astype(jnp.int32)
 
-    # ---- alignment pads: (-count % G) rows per non-empty tile -----------
-    pad_t = jnp.where(counts > 0, (-counts) % G, 0)
-    jj = jnp.arange(padw, dtype=jnp.int32)[None, :]
-    tid = jnp.arange(T, dtype=jnp.int32)[:, None]
-    pad_keys = jnp.where(jj < pad_t[:, None],
-                         jnp.left_shift(tid, rb) | pad_rank,
-                         sent).reshape(T * padw)
-
-    # ---- the payload sort: channels ride the sort -----------------------
-    # (sort cost is per-OPERAND on TPU; the render-only packed_bf16 preset
-    # drops the `flat` backward-map payload entirely — its backward is
-    # NotImplemented anyway)
-    chan_dtype = jnp.int32 if spec.packed_bf16 else jnp.float32
-    zpad = jnp.zeros((T * padw,), chan_dtype)
-    key_full = jnp.concatenate([pair_key, pad_keys])
-    if spec.packed_bf16:
-        ops = (key_full,) + tuple(
-            jnp.concatenate(parts + [zpad]) for parts in chan_parts)
-        base = 1
+    if spec.gather_geom:
+        # ---- analytic slot map (no pad rows, no second sort) -------------
+        # slots are G-aligned per tile by construction, so slot s in chunk c
+        # of tile t reads sorted position starts[t] + (s − G·chunk_cum[t]);
+        # everything is chunk/slot-scale vector math off the metadata above
+        # plus ONE (S,)-scale gather from the (P,) sorted flat ids
+        src0 = starts[tile_of_chunk] + chunk_within * G          # (NC,)
+        lane = jax.lax.iota(jnp.int32, G)
+        src2 = src0[:, None] + lane[None, :]
+        live2 = lane[None, :] < chunk_len[:, None]               # pads dead
+        flat_s = jnp.where(
+            live2, jnp.take(sorted_flat, jnp.clip(src2, 0, P - 1)),
+            P).reshape(S)
+        # backward route: slot of each SORTED position (S = "no slot"),
+        # inverted in the bwd by one (key=flat, payload=slot) sort.  Unused
+        # when pack_sorted is called outside the vjp (render) — XLA DCEs it.
+        t_p = jnp.right_shift(sorted_key, rb)                    # (P,) ≤ T
+        pos_t = jax.lax.iota(jnp.int32, P) - starts[t_p]
+        chunk_p = chunk_cum[t_p] + pos_t // G
+        slot_pos = jnp.where((t_p < T) & (chunk_p < NC),
+                             G * chunk_cum[t_p] + pos_t, S)
     else:
-        flat_full = jnp.concatenate(
-            [jnp.concatenate(flat_parts),
-             jnp.full((T * padw,), P, jnp.int32)])
-        ops = (key_full, flat_full) + tuple(
-            jnp.concatenate(parts + [zpad]) for parts in chan_parts)
-        base = 2
-    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        slot_pos = None
+        # ---- alignment pads: (-count % G) rows per non-empty tile -------
+        pad_t = jnp.where(counts > 0, (-counts) % G, 0)
+        jj = jnp.arange(padw, dtype=jnp.int32)[None, :]
+        tid = jnp.arange(T, dtype=jnp.int32)[:, None]
+        pad_keys = jnp.where(jj < pad_t[:, None],
+                             jnp.left_shift(tid, rb) | pad_rank,
+                             sent).reshape(T * padw)
+
+        # ---- the payload sort: channels ride the sort -------------------
+        # (sort cost is per-OPERAND on TPU; the render-only packed_bf16
+        # preset drops the `flat` backward-map payload entirely — its
+        # backward is NotImplemented anyway)
+        chan_dtype = jnp.int32 if spec.packed_bf16 else jnp.float32
+        zpad = jnp.zeros((T * padw,), chan_dtype)
+        key_full = jnp.concatenate([pair_key, pad_keys])
+        if spec.packed_bf16:
+            ops = (key_full,) + tuple(
+                jnp.concatenate(parts + [zpad]) for parts in chan_parts)
+            base = 1
+        else:
+            flat_full = jnp.concatenate(
+                [jnp.concatenate(flat_parts),
+                 jnp.full((T * padw,), P, jnp.int32)])
+            ops = (key_full, flat_full) + tuple(
+                jnp.concatenate(parts + [zpad]) for parts in chan_parts)
+            base = 2
+        out = jax.lax.sort(ops, num_keys=1, is_stable=True)
 
     def fit(a, fill=0):
         if p_tot < L:
@@ -843,19 +881,20 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                 [a, jnp.full((L - p_tot,), fill, a.dtype)])
         return a[:S]
 
-    zcol = jnp.zeros((S,), chan_dtype)
     if spec.packed_bf16:
         sorted_flat = jnp.zeros((1,), jnp.int32)  # no backward route
         geom_pk = jnp.stack([fit(out[base + j]) for j in range(4)], axis=0)
         colors_pk = jnp.stack(
             [fit(out[base + 4 + j]) for j in range(c8 // 2)], axis=0)
     else:
-        sorted_flat = out[1]
+        if not spec.gather_geom:
+            sorted_flat = out[1]
+            if spec.gather_colors:
+                flat_s = fit(sorted_flat, fill=P)          # (S,)
         if spec.gather_colors:
             # slot → source row: candidate index p in column k is
             # off_k + row, so the inverse is K static range tests at slot
             # scale; pad slots (flat == P) point at the appended zero row
-            flat_s = fit(sorted_flat, fill=P)              # (S,)
             row = jnp.full((S,), v_rows, jnp.int32)
             offp = 0
             for cpk in caps:
@@ -870,15 +909,16 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
             geom_g = jnp.pad(geom_s[:, :7], ((0, 1), (0, 1)))  # (Vr+1, 8)
             geom_pk = jnp.take(geom_g, row, axis=0)            # (S, 8) ROW-major
         else:
+            zcol = jnp.zeros((S,), jnp.float32)
             geom_pk = jnp.stack(
                 [fit(out[base + j]) for j in range(7)] + [zcol], axis=0)
-        if not spec.gather_colors:
-            colors_pk = jnp.stack(
-                [fit(out[base + 7 + j]) for j in range(c_cols)]
-                + [zcol] * c_pad, axis=0)
-        if p_tot < L:
-            sorted_flat = jnp.concatenate(
-                [sorted_flat, jnp.full((L - p_tot,), P, jnp.int32)])
+            if not spec.gather_colors:
+                colors_pk = jnp.stack(
+                    [fit(out[base + 7 + j]) for j in range(c_cols)]
+                    + [zcol] * c_pad, axis=0)
+            if p_tot < L:
+                sorted_flat = jnp.concatenate(
+                    [sorted_flat, jnp.full((L - p_tot,), P, jnp.int32)])
 
     meta = PackedMeta(
         chunk_tile=chunk_tile, chunk_first=chunk_first,
@@ -889,7 +929,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         col_fill=m, n_plane_clipped=n_plane_clipped,
         n_chunks_used=nc_used,
     )
-    return (geom_pk, colors_pk), meta, (sorted_flat, inv_comp, None)
+    return (geom_pk, colors_pk), meta, (sorted_flat, inv_comp, slot_pos)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -951,21 +991,34 @@ def _pack_sorted_bwd(spec, residuals, cts):
 
     gather = spec.gather_colors and spec.plane_mode == "colcap"
     gather_g = spec.gather_geom and spec.plane_mode == "colcap"
-    # cotangents arrive channel-major (8, S)/(c8, S) — rows are contiguous
-    # (ROW-major (S, ·) blocks on the gather routes)
-    cols = () if gather_g else tuple(unfit(g_geom[j]) for j in range(7))
-    if gather:
-        # color cotangent is (S, c8) ROW-major (the forward gathered it);
-        # instead of riding c8 payloads, ride ONE iota payload to learn each
-        # candidate's slot, then move the color rows with ONE row gather
-        cols = (jnp.arange(L, dtype=jnp.int32),) + cols
+    if gather_g:
+        # single-sort route: the forward saved each sorted position's slot
+        # (S = "no slot"); ONE (flat, slot) sort puts slots in candidate
+        # order, then geometry and color cotangents move by row gathers
+        slot_pos = inv_b
+        s_of_p = jax.lax.sort((sorted_flat, slot_pos), num_keys=1,
+                              is_stable=False)[1]          # (P,)
+        geom_out = ()
     else:
-        cols += tuple(unfit(g_color[j]) for j in range(c_cols))
-    # one sort inverts the tile sort (pads carry sentinel key P → sort last)
-    out = jax.lax.sort((sorted_flat,) + cols, num_keys=1, is_stable=False)
+        # cotangents arrive channel-major (8, S)/(c8, S) — rows are
+        # contiguous ((S, ·) ROW-major blocks on the gather_colors route)
+        cols = tuple(unfit(g_geom[j]) for j in range(7))
+        if gather:
+            # color cotangent is (S, c8) ROW-major (the forward gathered
+            # it); instead of riding c8 payloads, ride ONE iota payload to
+            # learn each candidate's slot, then move the color rows with
+            # ONE row gather
+            cols = (jnp.arange(L, dtype=jnp.int32),) + cols
+        else:
+            cols += tuple(unfit(g_color[j]) for j in range(c_cols))
+        # one sort inverts the tile sort (pads carry sentinel key P →
+        # sort last)
+        out = jax.lax.sort((sorted_flat,) + cols, num_keys=1,
+                           is_stable=False)
     if gather:
-        s_of_p = out[1]                       # (L,) slot per candidate rank
-        geom_out = () if gather_g else out[2:9]
+        if not gather_g:
+            s_of_p = out[1]                   # (L,) slot per candidate rank
+            geom_out = out[2:9]
         c8 = g_color.shape[1]
         g_color_p = jnp.concatenate(
             [g_color, jnp.zeros((1, c8), g_color.dtype)], axis=0)
@@ -1037,7 +1090,6 @@ def _pack_sorted_bwd(spec, residuals, cts):
     # paid an extra inv_cov (V, 8)+(V, c8) row gather here before the
     # inv_order one — ~XLA-gather speed, the single biggest fusion in the
     # train-step trace.)
-    del inv_b
     return (expand(g_geom_rows, inv_a), expand(g_color_rows, inv_a),
             jnp.zeros_like(depth),
             _np.zeros(visible.shape, jax.dtypes.float0))

@@ -737,3 +737,40 @@ def test_cull_sublsb_keeps_degenerate_covs_dist_method(rng):
                         proj.depth, proj.visible)
     assert int(ma.n_pairs) > 0
     assert int(mb.n_pairs) == int(ma.n_pairs)
+
+
+def test_gather_geom_single_sort(rng):
+    """The full gather route must trace exactly ONE lax.sort in the forward
+    (the stable (key, flat) sort — metadata keys and slot map both come from
+    it) and one more in the backward (the flat→slot inversion).  Sorts are
+    the dominant pack cost; a regression to the padded two-sort structure
+    would re-inflate every operand by T*(G-1) pad rows."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=80)
+    spec = _gather_geom_spec(bspec)
+    n_rows = proj.depth.shape[0]
+
+    def pair_sorts(jaxpr):
+        # sorts whose operands are LARGER than row scale (N): pack sorts
+        # (row-scale depth/coverage argsorts are not the cost driver)
+        n = 0
+        for eq in jaxpr.eqns:
+            if (eq.primitive.name == "sort"
+                    and eq.invars[0].aval.shape[0] > n_rows):
+                n += 1
+            for v in eq.params.values():
+                if hasattr(v, "jaxpr"):
+                    n += pair_sorts(v.jaxpr)
+        return n
+
+    fwd = jax.make_jaxpr(
+        lambda g, c: pack_sorted(spec, g, c, proj.depth, proj.visible))(
+            _geom_n(proj, opa), color)
+    assert pair_sorts(fwd.jaxpr) == 1, fwd.jaxpr
+
+    def loss(g, c):
+        pk, meta = pack_sorted(spec, g, c, proj.depth, proj.visible)
+        return jnp.sum(pk[0]) + jnp.sum(pk[1])
+
+    both = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1)))(
+        _geom_n(proj, opa), color)
+    assert pair_sorts(both.jaxpr) == 2, both.jaxpr  # fwd 1 + bwd 1
