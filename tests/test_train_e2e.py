@@ -167,3 +167,19 @@ def test_resume_reapplies_pyramid_switch(scene):
     calls.clear()
     tr.train(n_iters=1, start=0)
     assert calls == []
+
+
+def test_sh_training_decreases_loss(scene):
+    """End-to-end SH training (27-coeff view-dependent color,
+    reference quality config README.md:44-48): loss decreases through the
+    full Trainer path — SH basis wiring, per-group LR schedules on the
+    27-wide rgb table, pallas kernels (interpret)."""
+    sp = _splat(scene, use_pallas=True, use_sh_coeff=True)
+    assert sp.color_dim == 27
+    tcfg = TrainConfig(n_iters=12, n_iters_warmup=4, n_iters_test=0,
+                       n_save_train_img=0, ssim_weight=0.1, lr=0.01,
+                       n_adaptive_control=10**9, seed=1)
+    tr = Trainer(sp, tcfg, interpret=True)
+    losses = [float(tr.train_step(i)["l1"]) for i in range(12)]
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert np.isfinite(losses).all()
