@@ -742,16 +742,19 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
             qmin = _q_min_box(ak, bk, ck_, dk,
                               rx0 - cxk, rx0 + spec.tile_len_x - cxk,
                               ry0 - cyk, ry0 + spec.tile_len_y - cyk)
-            pn = 2.0 * (ak * dk - bk * ck_) + _DET_EPS
+            det_k = ak * dk - bk * ck_
+            pn = 2.0 * det_k + _DET_EPS
             iso = jnp.maximum(
                 jnp.log(jnp.maximum(geom_t[6, :cpk], 1e-12)
                         / _SUBLSB_ALPHA), 0.0)
             # conservative contract: cull only when PROVABLY sub-visible.
-            # det <= 0 covariances (possible under method="dist", whose
-            # bbox stage skips the det check) make pn negative and the
-            # iso test unsatisfiable even at the mean — keep those pairs
-            # (the rasterizer still draws them via _chunk_alpha's clamp)
-            valid_k = valid_k & ((pn <= 0) | (qmin <= pn * iso))
+            # Gate on det <= 0, not pn <= 0: for det in (-_DET_EPS/2, 0]
+            # pn stays positive but the covariance is indefinite, so
+            # _q_min_box's convex edge-minimization no longer lower-bounds
+            # the exponent — keep every det<=0 pair (possible under
+            # method="dist", whose bbox stage skips the det check; the
+            # rasterizer still draws them via _chunk_alpha's clamp)
+            valid_k = valid_k & ((det_k <= 0) | (qmin <= pn * iso))
         key_k = jnp.where(
             valid_k,
             jnp.left_shift(tile_k, rb) | (rank[:cpk] >> shift), sent)

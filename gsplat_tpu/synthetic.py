@@ -138,8 +138,7 @@ def tune_budgets(cfg, table, cams, grid, bspec):
         fills = jnp.stack([jnp.sum(cov > k) for k in range(kmax)])
         return jnp.sum(vis), jnp.sum(cov), fills
 
-    import jax as _jax
-    n_vis, n_pairs, fills = _jax.device_get(
+    n_vis, n_pairs, fills = jax.device_get(
         observe(table.params(), table.live))
     cfg.visible_rows = min(
         max((int(n_vis) * 135 // 100 // 4096 + 1) * 4096, 8192),

@@ -474,6 +474,15 @@ class Trainer:
         if self.mesh is not None:
             # the dp path always runs through the sharded window (K=1 here);
             # a separate per-step executable would double the compile count
+            if t.debug:
+                # per-step host-sync timing still works under dp — it just
+                # times the whole sharded window step
+                from gsplat_tpu.utils.timer import StageTimer
+
+                with StageTimer("train_step[dp]") as st:
+                    metrics = self.train_window(i_iter, i_iter)
+                    st.set_sync(float(metrics["l1"]))
+                return metrics
             return self.train_window(i_iter, i_iter)
         if self._pre_clear(i_iter):
             self.state = self.state._replace(

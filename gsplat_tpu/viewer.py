@@ -74,16 +74,19 @@ def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
 
     The whole device pipeline runs as ONE jitted function cached per
     (grid, spec) signature on the splat (``_offscreen_cache``): repeat
-    frames at the same signature cost one dispatch, far/sh-order/pose
-    changes never retrace (far is a traced operand; SH masking is an
-    elementwise multiply on the params).
+    frames at the same signature cost one dispatch, near/far/sh-order/pose
+    changes never retrace (near and far are traced operands; SH masking is
+    an elementwise multiply on the params).
     """
     import jax
     import jax.numpy as jnp
 
     cfg = splat.cfg
     if near is not None:
-        cfg = dataclasses.replace(cfg, near=float(near))
+        # near rides as a traced operand (see near_v below) so every slider
+        # value reuses ONE executable; the static projection near drops to
+        # the slider floor (0.1) so the traced cull is the binding one
+        cfg = dataclasses.replace(cfg, near=min(float(cfg.near), 0.1))
     if fast is None:
         # --fast_drawing maps here: the reference flag selects float-vs-
         # double kernel math (renderer.py:22,40); the TPU analogue is the
@@ -117,19 +120,28 @@ def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
     cache = getattr(splat, "_offscreen_cache", None)
     if cache is None:
         cache = splat._offscreen_cache = {}
-    # bspec/rspec carry most of the compile signature; near and the scale
-    # activation enter projection directly and must key the cache too
+    # bspec/rspec carry most of the compile signature; the (floored) static
+    # near and the scale activation enter projection directly and must key
+    # the cache too
     key = (grid, bspec, rspec, bool(interpret), cfg.near,
            cfg.scale_activation, cfg.use_pallas)
     if key not in cache:
-        def _render(params, live, rot, tran, shv, far_v):
-            # Euclidean far-plane cull (depth = ||p_cam||, gaussian.cu:1217)
-            # via the live mask; far rides as a traced scalar so slider
-            # moves never retrace
+        if len(cache) >= 32:
+            # bound the per-session executable cache: retunes/resizes mint
+            # new (grid, spec) keys and stale executables otherwise
+            # accumulate for the life of the Splatter (oldest-first evict)
+            cache.pop(next(iter(cache)))
+
+        def _render(params, live, rot, tran, shv, near_v, far_v):
+            # near/far culls via the live mask; both ride as traced scalars
+            # so slider moves never retrace.  near: camera-z test
+            # (gaussian.cu:1208); far: Euclidean depth = ||p_cam||
+            # (gaussian.cu:1217)
             pos = params["pos"]
             p_c = jnp.matmul(pos, rot.T,
                              precision=jax.lax.Precision.HIGHEST) + tran
-            live = live & (jnp.linalg.norm(p_c, axis=-1) < far_v)
+            live = live & (p_c[:, 2] > near_v) \
+                & (jnp.linalg.norm(p_c, axis=-1) < far_v)
             img, _ = render_cropped(params, live, rot, tran, shv, grid,
                                     cfg, bspec, rspec, interpret=interpret)
             return img
@@ -138,6 +150,7 @@ def render_offscreen(splat, w2c: np.ndarray, width: int, height: int,
         params, splat.table.live,
         jnp.asarray(rot, jnp.float32), jnp.asarray(tran, jnp.float32),
         jnp.asarray(shv, jnp.float32),
+        jnp.float32(-np.inf if near is None else near),
         jnp.float32(np.inf if far is None else far))
     if device_out:
         # async handle: dispatch returned immediately; the caller overlaps

@@ -110,14 +110,20 @@ def main():
 
     trainer._densify = densify_logged
     orig_post = trainer._post_step
+    last_save = [start]
 
     def post_save(i_iter):
         # save AFTER the full post-step so a same-iteration opacity reset
         # is inside the checkpoint (saving inside the densify hook lost it:
-        # resume would skip the reset and diverge from the schedule)
+        # resume would skip the reset and diverge from the schedule).
+        # Cadence by distance-since-last-save, not i % 200: _post_step only
+        # runs at window boundaries (metrics_every / host events), which
+        # need not land on 200-multiples — the modulo form never saved
+        # before iter 400
         orig_post(i_iter)
-        if i_iter % 200 == 0 and i_iter > 0:
+        if i_iter - last_save[0] >= 200:
             trainer.save_full(full_path, i_iter)  # crash-resumable
+            last_save[0] = i_iter
 
     trainer._post_step = post_save
     trainer.train(metrics_every=a.metrics_every, log=log, start=start)
