@@ -152,4 +152,39 @@ def tune_budgets(cfg, table, cams, grid, bspec):
         cfg.col_caps = tuple(
             min(max((int(f) * 5 // 4 // 4096 + 1) * 4096, 4096),
                 cfg.visible_rows) for f in fills)
+
+    if getattr(cfg, "fused_pack", True) and cfg.plane_mode == "colcap":
+        # phase 2: ONE real pack at the estimated spec.  Observed nc_used
+        # prices in everything the bbox estimate can't see — the sub-LSB
+        # cull, the dist-method radius test, column clipping — exactly like
+        # the trainer's nc_used retune; the bbox estimate alone leaves the
+        # chunk grid (and kernel time) sized for the uncalled workload.
+        from gsplat_tpu.models.splatter import make_specs
+        from gsplat_tpu.ops.binning import pack_sorted
+
+        c_dim = 27 if cfg.use_sh_coeff else 3
+        bspec2, _ = make_specs(grid, table.capacity, cfg, c_dim)
+
+        @jax.jit
+        def observe_pack(params, live):
+            proj = project_gaussians(
+                params["pos"], params["quat"], params["scale"],
+                cams["w2c_rot"][0], cams["w2c_tran"][0], cfg.near,
+                grid.width * 1.2 / 2 / grid.focal_x,
+                grid.height * 1.2 / 2 / grid.focal_y,
+                cfg.scale_activation)
+            opa = jax.nn.sigmoid(params["opa"])
+            n = opa.shape[0]
+            geom_n = jnp.concatenate(
+                [proj.mean2d, proj.cov2d.reshape(n, -1), opa[:, None],
+                 jnp.zeros((n, 1), opa.dtype)], axis=1)
+            colors = (params["rgb"] if cfg.use_sh_coeff
+                      else jax.nn.sigmoid(params["rgb"]))
+            _, meta = pack_sorted(bspec2, geom_n, colors, proj.depth,
+                                  proj.visible & live)
+            return meta.n_chunks_used, meta.n_pairs
+
+        ncu, n_pairs = jax.device_get(
+            observe_pack(table.params(), table.live))
+        cfg.pair_capacity = max(int(ncu) * g * 125 // 100, 4096)
     return int(n_vis), int(n_pairs), [int(f) for f in fills]
