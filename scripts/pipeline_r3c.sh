@@ -37,12 +37,30 @@ prof --gather_geom 1 --cull_sublsb 1       # full gather + cull
 echo "PROF DONE" >> $P
 
 # ---- at-scale SH quality run (crash-supervised inside the runner) --------
-# route choice: fused+gather_colors if its A/B train phase produced a JSON
-# result (i.e. the graph compiled); else the known-compiling legacy binning
+# route choice: the FASTEST SH train route whose A/B phase produced a JSON
+# result (i.e. whose graph compiled); legacy binning is the known-compiling
+# fallback at 2.77 it/s (PERF.md round-3)
 sleep 30
-SH_ROUTE="--fused_pack 0"
-grep -q '"metric": "train_it_per_s@506k_gaussians_1297x840_sh"' $L \
-  && SH_ROUTE=""
+SH_ROUTE=$(python - "$L" <<'PYEOF'
+import json, sys
+best, route = 2.77, "--fused_pack 0"     # legacy fallback baseline
+cur = None
+for line in open(sys.argv[1], errors="replace"):
+    line = line.strip()
+    if line.startswith("=== "):
+        cur = "--gather_geom 1" if "--gather_geom 1" in line else ""
+    if line.startswith("{"):
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if (d.get("metric", "").endswith("_sh")
+                and d.get("unit") == "it/s" and cur is not None
+                and d["value"] > best):
+            best, route = d["value"], cur
+print(route)
+PYEOF
+)
 echo "SH ROUTE: ${SH_ROUTE:-fused-default}" > /tmp/run7k_sh.log
 timeout 21600 python scripts/run_garden_7k.py --use_sh_coeff 1 \
   --exp runs/7k_garden_sh $SH_ROUTE >> /tmp/run7k_sh.log 2>&1
