@@ -281,7 +281,9 @@ def _load_native():
     so = os.path.join(os.path.dirname(__file__), "..", "native", "libcolmap_reader.so")
     so = os.path.abspath(so)
     if not os.path.exists(so):
-        _NATIVE = False
+        # do NOT cache: the library may be built later in the process
+        # (e.g. a test fixture running `make` after this module was first
+        # imported); a stat per scene load is free
         return False
     try:
         lib = ctypes.CDLL(so)
