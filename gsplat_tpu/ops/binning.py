@@ -612,8 +612,12 @@ def unpack2_bf16(packed):
 
 
 def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
-                             visible):
+                             visible, _stop: str | None = None):
     """Column-compacted forward: plane columns sliced to coverage prefixes.
+
+    ``_stop`` (profiling only): return the named stage's outputs early so a
+    scan-slope profiler can attribute cost below "pack" granularity —
+    stages: order, cov, perm, gather, bbox, plane, keysort, meta, paysort.
 
     Rows are ordered coverage-descending (stable → depth order within equal
     coverage), so column k's real candidates occupy the first
@@ -647,6 +651,8 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     inv_order = jnp.argsort(order).astype(jnp.int32)    # depth rank per row
     n_visible = jnp.sum(visible)
     n_vis_dropped = jnp.maximum(n_visible - V, 0)
+    if _stop == "order":
+        return (order, inv_order), None, None
 
     # ---- coverage + column fills in ORIGINAL order -----------------------
     # (the visible-row budget cut is a mask, not a gather: rows whose depth
@@ -659,6 +665,8 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     n_clipped = jnp.sum(jnp.maximum(area - K, 0))
     n_max_tiles = jnp.max(area)
     m = jnp.stack([jnp.sum(cov > k) for k in range(K)])  # (K,) fills
+    if _stop == "cov":
+        return (order, inv_order, cov, m, n_clipped), None, None
 
     # ---- ONE composed permutation: coverage-major, depth-rank-minor ------
     # The old pipeline gathered all channel rows to depth order and then
@@ -671,11 +679,15 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     comp_key = ((K - cov) << rb2) | inv_order           # unique → stable
     comp_order = jnp.argsort(comp_key).astype(jnp.int32)
     inv_comp = jnp.argsort(comp_order).astype(jnp.int32)
+    if _stop == "perm":
+        return (order, inv_order, comp_order, inv_comp), None, None
     v_rows = min(max(caps), V)                          # gathered window
     sel = comp_order[:v_rows]
     geom_s = jnp.take(geom_n, sel, axis=0)              # (Vr, 8)
     color_s = jnp.take(color_n, sel, axis=0)            # (Vr, c)
     vis_s = jnp.take(in_budget, sel, axis=0)
+    if _stop == "gather":
+        return (inv_comp, geom_s, color_s, vis_s), None, None
     # ONE transpose to channel-major: every per-column channel read below
     # becomes a contiguous row slice.  Minor-axis column slices of the
     # (V, 8)/(V, c) gathered blocks are strided relayouts — K columns x
@@ -686,6 +698,8 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         spec, geom_t[0], geom_t[1], geom_t[2], geom_t[3], geom_t[4],
         geom_t[5], vis_s)
     rank = jnp.take(inv_order, sel)                        # depth rank
+    if _stop == "bbox":
+        return (inv_comp, geom_t, color_t, x0, y0, rw, rh, rank), None, None
 
     # ---- per-column candidate slices ------------------------------------
     c_pad = -c_cols % 8
@@ -788,6 +802,9 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         off += cpk
     pair_key = jnp.concatenate(key_parts)
     n_pairs = jnp.sum(pair_key < sent)
+    if _stop == "plane":
+        return (pair_key, jnp.concatenate(flat_parts),
+                tuple(jnp.concatenate(p) for p in chan_parts)), None, None
 
     # ---- key-only sort → per-tile counts + chunk metadata ---------------
     # full gather route: ONE stable (key, flat) sort serves both the
@@ -802,6 +819,9 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     else:
         sorted_key = jax.lax.sort((pair_key,), num_keys=1,
                                   is_stable=False)[0]
+    if _stop == "keysort":
+        return (pair_key, sorted_key,
+                tuple(jnp.concatenate(p) for p in chan_parts)), None, None
     bounds = jnp.left_shift(jnp.arange(T + 1, dtype=jnp.int32), rb)
     starts = jnp.searchsorted(sorted_key, bounds).astype(jnp.int32)
     counts = jnp.diff(starts)                              # (T,)
@@ -826,6 +846,10 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         chunk_used,
         jnp.clip(counts[tile_of_chunk] - chunk_within * G, 0, G),
         0).astype(jnp.int32)
+    if _stop == "meta":
+        return (pair_key, chunk_tile, chunk_first, chunk_last, chunk_len,
+                tile_ok, tuple(jnp.concatenate(p) for p in chan_parts)
+                ), None, None
 
     if spec.gather_geom:
         # ---- analytic slot map (no pad rows, no second sort) -------------
@@ -877,6 +901,8 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                 jnp.concatenate(parts + [zpad]) for parts in chan_parts)
             base = 2
         out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        if _stop == "paysort":
+            return (out, chunk_len), None, None
 
     def fit(a, fill=0):
         if p_tot < L:

@@ -124,11 +124,17 @@ def tune_budgets(cfg, table, cams, grid, bspec):
 
     kmax = bspec.max_tiles_per_gaussian
 
+    # cameras enter as jit ARGUMENTS, never closure constants: a closed-over
+    # device array must be fetched to host during lowering (MLIR constant),
+    # which makes *tracing* the first device touch of the process — that
+    # fetch is exactly what died with FAILED_PRECONDITION in BENCH_r03
+    rot0, tran0 = cams["w2c_rot"][0], cams["w2c_tran"][0]
+
     @jax.jit
-    def observe(params, live):
+    def observe(params, live, rot, tran):
         proj = project_gaussians(
             params["pos"], params["quat"], params["scale"],
-            cams["w2c_rot"][0], cams["w2c_tran"][0], cfg.near,
+            rot, tran, cfg.near,
             grid.width * 1.2 / 2 / grid.focal_x,
             grid.height * 1.2 / 2 / grid.focal_y,
             cfg.scale_activation)
@@ -139,7 +145,7 @@ def tune_budgets(cfg, table, cams, grid, bspec):
         return jnp.sum(vis), jnp.sum(cov), fills
 
     n_vis, n_pairs, fills = jax.device_get(
-        observe(table.params(), table.live))
+        observe(table.params(), table.live, rot0, tran0))
     cfg.visible_rows = min(
         max((int(n_vis) * 135 // 100 // 4096 + 1) * 4096, 8192),
         table.capacity)
@@ -166,10 +172,10 @@ def tune_budgets(cfg, table, cams, grid, bspec):
         bspec2, _ = make_specs(grid, table.capacity, cfg, c_dim)
 
         @jax.jit
-        def observe_pack(params, live):
+        def observe_pack(params, live, rot, tran):
             proj = project_gaussians(
                 params["pos"], params["quat"], params["scale"],
-                cams["w2c_rot"][0], cams["w2c_tran"][0], cfg.near,
+                rot, tran, cfg.near,
                 grid.width * 1.2 / 2 / grid.focal_x,
                 grid.height * 1.2 / 2 / grid.focal_y,
                 cfg.scale_activation)
@@ -185,6 +191,6 @@ def tune_budgets(cfg, table, cams, grid, bspec):
             return meta.n_chunks_used, meta.n_pairs
 
         ncu, n_pairs = jax.device_get(
-            observe_pack(table.params(), table.live))
+            observe_pack(table.params(), table.live, rot0, tran0))
         cfg.pair_capacity = max(int(ncu) * g * 125 // 100, 4096)
     return int(n_vis), int(n_pairs), [int(f) for f in fills]

@@ -628,14 +628,19 @@ class Trainer:
     def evaluate(self, fps_repeats: int = 3):
         """Test-split metrics + device render FPS, one dispatch per group.
 
-        FPS times a render-only scan over the test cameras repeated
-        ``fps_repeats``x in a single dispatch, so per-dispatch round-trip
-        overhead is amortized (the reference measures pure CUDA-event
-        render time, train.py:259-266 — this is the closest TPU analogue
-        on a remote-attached device).
+        FPS is SLOPE-measured — Δwall between a 1x and a (1+fps_repeats)x
+        repeat of the test cameras, each inside a single dispatch — exactly
+        bench.py's methodology, so dispatch round-trip overhead (~30 ms on
+        the remote tunnel) cancels instead of inflating the per-frame cost.
+        The workload is the run's OWN (its gaussian count, pair count and
+        tuned budgets), so this FPS is only comparable to bench.py at equal
+        PAIR scale: the round-3 run summary's 5.4 FPS vs bench's 26.3 was
+        ~1/3 dispatch overhead in the numerator and ~3x the synthetic
+        scene's pair count (5.6M vs 1.0M) — see PERF.md round 4.  The
+        returned dict reports the basis (frames/pairs) for auditability.
         """
         psnrs, ssims = [], []
-        frames, elapsed = 0, 0.0
+        d_frames, d_elapsed = 0, 0.0
         by_group = {}
         for fid in self.test_split:
             g, cid = self.flat_cams[fid]
@@ -647,19 +652,28 @@ class Trainer:
                 eval_batch(self.state.params, self.state.live, ids))
             psnrs += list(ps)
             ssims += list(ss)
-            ids_rep = jnp.tile(ids, fps_repeats)
-            # warm compile, then time with a fresh salt
-            float(render_batch(self.state.params, self.state.live, ids_rep,
-                               jnp.float32(0.0)))
-            t0 = time.perf_counter()
-            float(render_batch(self.state.params, self.state.live, ids_rep,
-                               jnp.float32(1.0 + len(psnrs))))
-            elapsed += time.perf_counter() - t0
-            frames += len(ids_rep)
+            ids_big = jnp.tile(ids, 1 + fps_repeats)
+
+            def timed(ids_k, reps=2):
+                best = float("inf")
+                for r in range(reps + 1):
+                    t0 = time.perf_counter()
+                    float(render_batch(self.state.params, self.state.live,
+                                       ids_k, jnp.float32(r + g)))
+                    dt = time.perf_counter() - t0
+                    if r > 0:   # r=0 warms the compile
+                        best = min(best, dt)
+                return best
+
+            d_elapsed += timed(ids_big) - timed(ids)
+            d_frames += len(ids_big) - len(ids)
         return {
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),
-            "fps": frames / max(elapsed, 1e-9),
+            "fps": d_frames / max(d_elapsed, 1e-9),
+            "fps_frames": d_frames,
+            "n_pairs": int(getattr(self, "_last_metrics", {}).get(
+                "n_pairs", 0) or 0),
         }
 
     def save(self, path=None):

@@ -297,7 +297,10 @@ def _load_native():
         ]
         _NATIVE = lib
     except OSError:
-        _NATIVE = False
+        # do NOT cache the failure: a partially written .so (concurrent
+        # `make` in a fixture) fails CDLL now but may load fine later —
+        # only a successful load is cached (mirrors the missing-file path)
+        return False
     return _NATIVE
 
 
