@@ -94,6 +94,7 @@ def run_bench(args, result):
                       fused_pack=fused,
                       gather_colors=int(args.gather_colors),
                       gather_geom=int(args.gather_geom),
+                      bf16_pack=int(args.bf16_pack),
                       cull_sublsb=int(args.cull_sublsb))
     if args.chunk_size:
         cfg.chunk_size = int(args.chunk_size)
@@ -331,6 +332,10 @@ def main():
                     help="full gather route: sort carries only (key, flat); "
                          "geometry rides the same post-sort row gather "
                          "(-1 auto: off; 0/1 force)")
+    ap.add_argument("--bf16_pack", type=int, default=-1,
+                    help="bf16-paired payload-sort operands for both "
+                         "directions (-1 auto: on when compatible; 0/1 "
+                         "force — 0 benches the all-f32 round-3 route)")
     ap.add_argument("--cull_sublsb", type=int, default=-1,
                     help="sub-LSB pair cull (exact quadratic-over-box "
                          "test; -1 auto: off; 0/1 force)")

@@ -108,6 +108,18 @@ class SplatConfig:
     # post-sort row gather as colors (ops/binning gather_geom).  -1 = auto
     # (currently off pending TPU A/B measurement); 0/1 force.
     gather_geom: int = -1
+    # Train-capable packed payload sort (ops/binning bf16_pack): cov, opa
+    # and color channels ride the fused pack's payload sort as bf16 pairs
+    # bitcast into i32 operands (positions and their grads stay f32), and
+    # the backward's inverse sort packs its cotangents the same way —
+    # forward 12 → 8 and backward 11 → 7 sort operands at pair scale, the
+    # dominant cost of both directions (PERF.md round-4).  Values are
+    # unpacked to the standard f32 buffers right after each sort, so the
+    # kernels and the vjp structure are unchanged; the forward is the f32
+    # forward to ~65 dB (preset measurement, PERF.md round-3).
+    # -1 = auto (ON whenever compatible: fused colcap, not packed_bf16 /
+    # gather_geom); 0/1 force.
+    bf16_pack: int = -1
     # Sub-LSB candidate cull: drop (gaussian, tile) pairs whose max alpha in
     # the tile is < 1/510 — conservative exact quadratic-over-box test
     # (ops/binning cull_sublsb).  Pair count drives sorts + kernel grid.

@@ -185,6 +185,9 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
     cs_flag = int(getattr(cfg, "cull_sublsb", -1))
     cull_sublsb = (False if cs_flag == -1 else bool(cs_flag)) and fused \
         and getattr(cfg, "plane_mode", "dense") == "colcap"
+    bp_flag = int(getattr(cfg, "bf16_pack", 0))
+    bf16_pack = (True if bp_flag == -1 else bool(bp_flag)) and ok \
+        and not gather_geom
     bspec = BinningSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_len_x=grid.tile_geo_length_x, tile_len_y=grid.tile_geo_length_y,
@@ -199,6 +202,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         col_caps=_norm_col_caps(getattr(cfg, "col_caps", None),
                                 cfg.max_tiles_per_gaussian),
         packed_bf16=bool(getattr(cfg, "packed_bf16", False)),
+        bf16_pack=bf16_pack,
         gather_colors=gather_colors,
         gather_geom=gather_geom,
         cull_sublsb=cull_sublsb,

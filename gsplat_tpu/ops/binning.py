@@ -121,6 +121,20 @@ class BinningSpec(NamedTuple):
     # scale) for one 32-B row gather (~5 ns/row at slot scale) per
     # direction.
     gather_geom: bool = False
+    # TRAIN-CAPABLE packed payloads (colcap only): cov/opa/color channels
+    # ride the payload sort as bf16 pairs bitcast into i32 operands, cutting
+    # the forward sort from key+flat+10 f32 operands to key+flat+2 f32
+    # (positions — kept full precision: position grads drive densification
+    # and sub-pixel compositing) + 3 i32.  The backward inverse sort packs
+    # its non-position COTANGENTS the same way (bf16 keeps f32's exponent;
+    # ~0.4% relative mantissa noise on Adam-normalized grads).  Unlike the
+    # render-only ``packed_bf16`` preset the sort keeps the ``flat``
+    # backward map and the outputs are unpacked to the standard f32
+    # channel-major buffers right after the sort, so the kernels and the
+    # custom-vjp backward are unchanged.  Quality: the preset measured
+    # 65.7 dB vs the f32 render (PERF.md round-3) — far above any training
+    # target.
+    bf16_pack: bool = False
     # Sub-LSB candidate cull (colcap only): drop (gaussian, tile) pairs whose
     # maximum alpha anywhere in the tile is below 1/510 — half an 8-bit LSB,
     # sub-visible by construction.  The exact convex-quadratic-over-box
@@ -437,6 +451,9 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
         "gather_colors requires plane_mode='colcap'"
     assert not spec.cull_sublsb, \
         "cull_sublsb requires plane_mode='colcap'"
+    assert not spec.bf16_pack, \
+        "bf16_pack requires plane_mode='colcap' (packed payload rows are " \
+        "built by the column-compacted plane)"
     n = depth.shape[0]
     K, G, T = spec.max_tiles_per_gaussian, spec.chunk_size, spec.n_tiles
     V = min(spec.visible_rows or n, n)
@@ -594,13 +611,8 @@ def _pack2_bf16(a, b):
     return jnp.left_shift(ai, 16) | (bi & jnp.int32(0xFFFF))
 
 
-def unpack2_bf16(packed):
-    """(R, ...) i32 → (2R, ...) f32: [hi channels..., lo channels...].
-
-    Inverse of the row-halves packing (row j holds channel j in the high
-    16 bits and channel R+j in the low 16), so the unpacked concat is in
-    channel order with no interleave.
-    """
+def _unpack2(packed):
+    """i32 array → (hi, lo) f32 pair (inverse of :func:`_pack2_bf16`)."""
     hi = jax.lax.shift_right_arithmetic(packed, 16)
     lo = packed & jnp.int32(0xFFFF)
 
@@ -608,7 +620,18 @@ def unpack2_bf16(packed):
         return jax.lax.bitcast_convert_type(
             x.astype(jnp.int16), jnp.bfloat16).astype(jnp.float32)
 
-    return jnp.concatenate([tofp(hi), tofp(lo)], axis=0)
+    return tofp(hi), tofp(lo)
+
+
+def unpack2_bf16(packed):
+    """(R, ...) i32 → (2R, ...) f32: [hi channels..., lo channels...].
+
+    Inverse of the row-halves packing (row j holds channel j in the high
+    16 bits and channel R+j in the low 16), so the unpacked concat is in
+    channel order with no interleave.
+    """
+    hi, lo = _unpack2(packed)
+    return jnp.concatenate([hi, lo], axis=0)
 
 
 def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
@@ -658,8 +681,8 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     # (the visible-row budget cut is a mask, not a gather: rows whose depth
     # rank falls past V count as coverage 0, exactly like invisible rows)
     in_budget = visible & (inv_order < V)
-    _, _, rwa, rha = _tile_bbox(spec, geom_n[:, 0:2], geom_n[:, 2:6],
-                                in_budget)
+    x0a, y0a, rwa, rha = _tile_bbox(spec, geom_n[:, 0:2], geom_n[:, 2:6],
+                                    in_budget)
     area = rwa * rha
     cov = jnp.minimum(area, K)
     n_clipped = jnp.sum(jnp.maximum(area - K, 0))
@@ -683,21 +706,80 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         return (order, inv_order, comp_order, inv_comp), None, None
     v_rows = min(max(caps), V)                          # gathered window
     sel = comp_order[:v_rows]
-    geom_s = jnp.take(geom_n, sel, axis=0)              # (Vr, 8)
-    color_s = jnp.take(color_n, sel, axis=0)            # (Vr, c)
-    vis_s = jnp.take(in_budget, sel, axis=0)
-    if _stop == "gather":
-        return (inv_comp, geom_s, color_s, vis_s), None, None
-    # ONE transpose to channel-major: every per-column channel read below
-    # becomes a contiguous row slice.  Minor-axis column slices of the
-    # (V, 8)/(V, c) gathered blocks are strided relayouts — K columns x
-    # (7 + c) channels of them dominated the plane-build tail.
-    geom_t = geom_s.T                                      # (8, V)
-    color_t = color_s.T                                    # (c, V)
-    x0, y0, rw, rh = _tile_bbox_rows(
-        spec, geom_t[0], geom_t[1], geom_t[2], geom_t[3], geom_t[4],
-        geom_t[5], vis_s)
-    rank = jnp.take(inv_order, sel)                        # depth rank
+    bx = int(spec.n_tile_x + 1).bit_length()
+    by = int(spec.n_tile_y + 1).bit_length()
+    # single-matrix gather (bf16_pack): everything the plane build needs —
+    # f32 positions, bf16-paired cov/opa/color channels (the exact payload
+    # rows the sort will carry), the N-scale bbox (already computed for the
+    # column fills) bit-packed into one i32, and the depth rank — rides ONE
+    # (N, 8)-i32 32-byte row gather + ONE transpose.  Replaces two row
+    # gathers, two element gathers, a second transpose and a full bbox
+    # recompute (the round-3d profile's gather+bbox = 9.8 ms of a 33 ms
+    # pack, PERF.md round-4).
+    use_mat = spec.bf16_pack and (2 * bx + 2 * by) <= 31
+    if use_mat:
+        def f2i(val):
+            return jax.lax.bitcast_convert_type(val, jnp.int32)
+
+        bbox_pk = (x0a | (y0a << bx) | (rwa << (bx + by))
+                   | (rha << (2 * bx + by)))
+        extra_n = [geom_n[:, 6]]
+        if not spec.gather_colors:
+            extra_n += [color_n[:, j] for j in range(c_cols)]
+        if len(extra_n) % 2:
+            extra_n.append(jnp.zeros((n,), jnp.float32))
+        n_pk = len(extra_n) // 2
+        cols_m = [f2i(geom_n[:, 0]), f2i(geom_n[:, 1]),
+                  _pack2_bf16(geom_n[:, 2], geom_n[:, 3]),
+                  _pack2_bf16(geom_n[:, 4], geom_n[:, 5])]
+        cols_m += [_pack2_bf16(extra_n[2 * j], extra_n[2 * j + 1])
+                   for j in range(n_pk)]
+        cols_m += [bbox_pk, inv_order]
+        while len(cols_m) < 8:                 # keep 32-byte rows
+            cols_m.append(jnp.zeros((n,), jnp.int32))
+        assert len(cols_m) == 8, (len(cols_m), c_cols)
+        mat = jnp.stack(cols_m, axis=1)                    # (N, 8) i32
+        mt = jnp.take(mat, sel, axis=0).T                  # (8, Vr)
+        if _stop == "gather":
+            return (inv_comp, mt), None, None
+        xf = jax.lax.bitcast_convert_type(mt[0], jnp.float32)
+        yf = jax.lax.bitcast_convert_type(mt[1], jnp.float32)
+        ab = _unpack2(mt[2])
+        cd = _unpack2(mt[3])
+        ex = []
+        for j in range(n_pk):
+            h, l = _unpack2(mt[4 + j])
+            ex += [h, l]
+        # geom_t/color_t rows carry the bf16-roundtripped values the sort
+        # payloads will carry anyway — the plane loop's repack is exact
+        geom_t = jnp.stack([xf, yf, ab[0], ab[1], cd[0], cd[1], ex[0]],
+                           axis=0)
+        color_t = (None if spec.gather_colors
+                   else jnp.stack(ex[1:1 + c_cols], axis=0))
+        bb = mt[4 + n_pk]
+        x0 = bb & ((1 << bx) - 1)
+        y0 = (bb >> bx) & ((1 << by) - 1)
+        rw = (bb >> (bx + by)) & ((1 << bx) - 1)
+        rh = (bb >> (2 * bx + by)) & ((1 << by) - 1)
+        rank = mt[5 + n_pk]
+        if spec.gather_colors:
+            color_s = jnp.take(color_n, sel, axis=0)       # (Vr, c) f32
+    else:
+        geom_s = jnp.take(geom_n, sel, axis=0)              # (Vr, 8)
+        color_s = jnp.take(color_n, sel, axis=0)            # (Vr, c)
+        vis_s = jnp.take(in_budget, sel, axis=0)
+        if _stop == "gather":
+            return (inv_comp, geom_s, color_s, vis_s), None, None
+        # ONE transpose to channel-major: every per-column channel read
+        # below becomes a contiguous row slice.  Minor-axis column slices
+        # of the (V, 8)/(V, c) gathered blocks are strided relayouts — K
+        # columns x (7 + c) channels of them dominated the plane-build tail.
+        geom_t = geom_s.T                                      # (8, V)
+        color_t = color_s.T                                    # (c, V)
+        x0, y0, rw, rh = _tile_bbox_rows(
+            spec, geom_t[0], geom_t[1], geom_t[2], geom_t[3], geom_t[4],
+            geom_t[5], vis_s)
+        rank = jnp.take(inv_order, sel)                        # depth rank
     if _stop == "bbox":
         return (inv_comp, geom_t, color_t, x0, y0, rw, rh, rank), None, None
 
@@ -705,9 +787,18 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     c_pad = -c_cols % 8
     c8 = c_cols + c_pad
     if spec.packed_bf16:
-        # payload rows: geom (x|c, y|d, a|opa, b|0) + colors (j | j+c8/2);
-        # positions go tile-relative so bf16 keeps sub-pixel accuracy
-        n_geo_rows, n_col_rows = 4, c8 // 2
+        # payload rows: geom (x|c, y|d, a|opa, b|blue) + colors (r|g) for
+        # RGB — the blue channel rides the geometry block's free lo slot,
+        # so the whole RGB render sort is key + 5 payloads; SH keeps pairs
+        # of coefficients (j | j+c8/2).  Positions go tile-relative so bf16
+        # keeps sub-pixel accuracy.
+        n_geo_rows, n_col_rows = 4, (1 if c_cols == 3 else c8 // 2)
+    elif spec.bf16_pack:
+        # train-capable packed payloads: x, y stay f32; (a|b), (c|d) i32;
+        # then (opa, color...) channels paired into i32 rows
+        assert not spec.gather_geom
+        n_extra = 1 + (0 if spec.gather_colors else c_cols)
+        n_geo_rows, n_col_rows = 4 + (n_extra + 1) // 2, 0
     elif spec.gather_geom:
         # full gather route: the sort carries only (key, flat); geometry
         # AND colors move by post-sort row gathers
@@ -780,15 +871,33 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
             tcy = spec.topmost + ((y0[:cpk] + ky).astype(jnp.float32)
                                   + 0.5) * spec.tile_len_y
             zero = jnp.zeros((cpk,), jnp.float32)
+            rgb = c_cols == 3
             hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
                   geom_t[2, :cpk], geom_t[3, :cpk]]
-            lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[6, :cpk], zero]
+            lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[6, :cpk],
+                  color_t[2, :cpk] if rgb else zero]
             rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
-            half = c8 // 2
-            ccol = [color_t[j, :cpk] if j < c_cols else zero
-                    for j in range(c8)]
-            rows += [_pack2_bf16(ccol[j], ccol[half + j])
-                     for j in range(half)]
+            if rgb:
+                rows.append(_pack2_bf16(color_t[0, :cpk],
+                                        color_t[1, :cpk]))
+            else:
+                half = c8 // 2
+                ccol = [color_t[j, :cpk] if j < c_cols else zero
+                        for j in range(c8)]
+                rows += [_pack2_bf16(ccol[j], ccol[half + j])
+                         for j in range(half)]
+        elif spec.bf16_pack:
+            zero = jnp.zeros((cpk,), jnp.float32)
+            extra = [geom_t[6, :cpk]]            # opa first
+            if not spec.gather_colors:
+                extra += [color_t[j, :cpk] for j in range(c_cols)]
+            if len(extra) % 2:
+                extra.append(zero)
+            rows = [geom_t[0, :cpk], geom_t[1, :cpk],
+                    _pack2_bf16(geom_t[2, :cpk], geom_t[3, :cpk]),
+                    _pack2_bf16(geom_t[4, :cpk], geom_t[5, :cpk])]
+            rows += [_pack2_bf16(extra[2 * j], extra[2 * j + 1])
+                     for j in range(len(extra) // 2)]
         elif spec.gather_geom:
             rows = []
         elif spec.gather_colors:
@@ -886,19 +995,20 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         # (sort cost is per-OPERAND on TPU; the render-only packed_bf16
         # preset drops the `flat` backward-map payload entirely — its
         # backward is NotImplemented anyway)
-        chan_dtype = jnp.int32 if spec.packed_bf16 else jnp.float32
-        zpad = jnp.zeros((T * padw,), chan_dtype)
+        def with_pad(parts):
+            return jnp.concatenate(
+                parts + [jnp.zeros((T * padw,), parts[0].dtype)])
+
         key_full = jnp.concatenate([pair_key, pad_keys])
         if spec.packed_bf16:
-            ops = (key_full,) + tuple(
-                jnp.concatenate(parts + [zpad]) for parts in chan_parts)
+            ops = (key_full,) + tuple(with_pad(p) for p in chan_parts)
             base = 1
         else:
             flat_full = jnp.concatenate(
                 [jnp.concatenate(flat_parts),
                  jnp.full((T * padw,), P, jnp.int32)])
             ops = (key_full, flat_full) + tuple(
-                jnp.concatenate(parts + [zpad]) for parts in chan_parts)
+                with_pad(p) for p in chan_parts)
             base = 2
         out = jax.lax.sort(ops, num_keys=1, is_stable=True)
         if _stop == "paysort":
@@ -914,7 +1024,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         sorted_flat = jnp.zeros((1,), jnp.int32)  # no backward route
         geom_pk = jnp.stack([fit(out[base + j]) for j in range(4)], axis=0)
         colors_pk = jnp.stack(
-            [fit(out[base + 4 + j]) for j in range(c8 // 2)], axis=0)
+            [fit(out[base + 4 + j]) for j in range(n_col_rows)], axis=0)
     else:
         if not spec.gather_geom:
             sorted_flat = out[1]
@@ -939,12 +1049,29 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
             geom_pk = jnp.take(geom_g, row, axis=0)            # (S, 8) ROW-major
         else:
             zcol = jnp.zeros((S,), jnp.float32)
-            geom_pk = jnp.stack(
-                [fit(out[base + j]) for j in range(7)] + [zcol], axis=0)
-            if not spec.gather_colors:
-                colors_pk = jnp.stack(
-                    [fit(out[base + 7 + j]) for j in range(c_cols)]
-                    + [zcol] * c_pad, axis=0)
+            if spec.bf16_pack:
+                # unpack the bf16-paired payloads back to the standard f32
+                # channel-major buffers (elementwise; downstream unchanged)
+                x_s, y_s = fit(out[base + 0]), fit(out[base + 1])
+                a_s, b_s = _unpack2(fit(out[base + 2]))
+                c_s, d_s = _unpack2(fit(out[base + 3]))
+                n_extra = 1 + (0 if spec.gather_colors else c_cols)
+                extra = []
+                for j in range((n_extra + 1) // 2):
+                    h, l = _unpack2(fit(out[base + 4 + j]))
+                    extra += [h, l]
+                geom_pk = jnp.stack(
+                    [x_s, y_s, a_s, b_s, c_s, d_s, extra[0], zcol], axis=0)
+                if not spec.gather_colors:
+                    colors_pk = jnp.stack(
+                        extra[1:1 + c_cols] + [zcol] * c_pad, axis=0)
+            else:
+                geom_pk = jnp.stack(
+                    [fit(out[base + j]) for j in range(7)] + [zcol], axis=0)
+                if not spec.gather_colors:
+                    colors_pk = jnp.stack(
+                        [fit(out[base + 7 + j]) for j in range(c_cols)]
+                        + [zcol] * c_pad, axis=0)
             if p_tot < L:
                 sorted_flat = jnp.concatenate(
                     [sorted_flat, jnp.full((L - p_tot,), P, jnp.int32)])
@@ -1031,19 +1158,47 @@ def _pack_sorted_bwd(spec, residuals, cts):
     else:
         # cotangents arrive channel-major (8, S)/(c8, S) — rows are
         # contiguous ((S, ·) ROW-major blocks on the gather_colors route)
-        cols = tuple(unfit(g_geom[j]) for j in range(7))
+        if spec.bf16_pack:
+            # inverse sort rides packed cotangents too: position grads
+            # (densification signal) stay f32, the rest pair up as bf16
+            gg = [unfit(g_geom[j]) for j in range(7)]
+            extra = [gg[6]]
+            if not gather:
+                extra += [unfit(g_color[j]) for j in range(c_cols)]
+            if len(extra) % 2:
+                extra.append(jnp.zeros_like(gg[6]))
+            cols = (gg[0], gg[1], _pack2_bf16(gg[2], gg[3]),
+                    _pack2_bf16(gg[4], gg[5])) + tuple(
+                _pack2_bf16(extra[2 * j], extra[2 * j + 1])
+                for j in range(len(extra) // 2))
+        else:
+            cols = tuple(unfit(g_geom[j]) for j in range(7))
+            if not gather:
+                cols += tuple(unfit(g_color[j]) for j in range(c_cols))
         if gather:
             # color cotangent is (S, c8) ROW-major (the forward gathered
             # it); instead of riding c8 payloads, ride ONE iota payload to
             # learn each candidate's slot, then move the color rows with
             # ONE row gather
             cols = (jnp.arange(L, dtype=jnp.int32),) + cols
-        else:
-            cols += tuple(unfit(g_color[j]) for j in range(c_cols))
         # one sort inverts the tile sort (pads carry sentinel key P →
         # sort last)
         out = jax.lax.sort((sorted_flat,) + cols, num_keys=1,
                            is_stable=False)
+        if spec.bf16_pack:
+            # unpack back to the 7(+c) f32 cotangent columns the reduction
+            # expects; `out` is rebuilt so the slicing below is unchanged
+            o = 2 if gather else 1
+            a_b = _unpack2(out[o + 2])
+            c_d = _unpack2(out[o + 3])
+            n_extra = 1 + (0 if gather else c_cols)
+            extra_u = []
+            for j in range((n_extra + 1) // 2):
+                h, l = _unpack2(out[o + 4 + j])
+                extra_u += [h, l]
+            out = out[:o] + (out[o], out[o + 1], a_b[0], a_b[1],
+                             c_d[0], c_d[1], extra_u[0]) \
+                + tuple(extra_u[1:1 + (0 if gather else c_cols)])
     if gather:
         if not gather_g:
             s_of_p = out[1]                   # (L,) slot per candidate rank

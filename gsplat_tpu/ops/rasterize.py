@@ -238,6 +238,24 @@ def _cumsum_incl_sublanes(x):
     return cs
 
 
+def _unpack_packed(spec: RasterSpec, geom, colarr):
+    """packed_bf16 blocks (4, R)/(rows, R) i32 → (R, 8) geom + (R, c) colors.
+
+    RGB rides blue in the geometry block's free lo slot (binning packs
+    (x|c, y|d, a|opa, b|blue) + one (r|g) color row); SH colors come as
+    coefficient pairs padded to c_col.
+    """
+    from gsplat_tpu.ops.binning import unpack2_bf16
+
+    g = unpack2_bf16(geom).T                 # (R, 8): [...opa, blue-or-0]
+    if spec.color_dim == 3:
+        rg = unpack2_bf16(colarr).T          # (R, 2): [r, g]
+        gc = jnp.concatenate([rg, g[:, 7:8]], axis=1)
+    else:
+        gc = unpack2_bf16(colarr).T[:, :spec.c_col]
+    return g, gc
+
+
 def _chunk_colors(spec: RasterSpec, gc, shb):
     """Per-gaussian colors from the (G, c_col) color chunk: 3 arrays of
     (G, 1) or (G, Px)."""
@@ -278,17 +296,14 @@ def composite_chunks_jnp(packed, chunk_tile, chunk_first, chunk_len,
     nc = chunk_tile.shape[0]
     geom, colarr = packed
     if spec.packed_bf16:
-        from gsplat_tpu.ops.binning import unpack2_bf16
-
-        geom = unpack2_bf16(geom).T
-        colarr = unpack2_bf16(colarr).T[:, :spec.c_col]
+        geom, colarr = _unpack_packed(spec, geom, colarr)
     elif spec.channel_major:
         if not spec.geom_row_major:
             geom = geom.T
         if not spec.color_row_major:
             colarr = colarr.T
     g_all = geom.reshape(nc, spec.chunk_size, 8)
-    c_all = colarr.reshape(nc, spec.chunk_size, spec.c_col)
+    c_all = colarr.reshape(nc, spec.chunk_size, colarr.shape[-1])
 
     gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
 
@@ -387,10 +402,7 @@ def _fwd_kernel(spec: RasterSpec,
     def _():
         pxc_full, pyc_full = _tile_pixel_coords(spec, t)
         if spec.packed_bf16:
-            from gsplat_tpu.ops.binning import unpack2_bf16
-
-            g = unpack2_bf16(geom_ref[:]).T
-            gc = unpack2_bf16(col_ref[:]).T[:, :spec.c_col]
+            g, gc = _unpack_packed(spec, geom_ref[:], col_ref[:])
         else:
             g = geom_ref[:].T if (spec.channel_major
                                   and not spec.geom_row_major) else geom_ref[:]

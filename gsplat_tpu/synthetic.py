@@ -21,7 +21,7 @@ def synthetic_table(n: int, capacity_round: int = 65536, use_sh=False,
                     seed: int = 0, depth_range=(2.0, 8.0),
                     frustum=(0.65, 0.45), scale_px=2.5, focal=1000.0,
                     opa=0.5, headroom: float = 1.15,
-                    ball=None) -> GaussianTable:
+                    ball=None, sh_ampl: float = 0.0) -> GaussianTable:
     """Random gaussian table.
 
     Default layout fills the frustum of a camera at the origin looking +z.

@@ -889,6 +889,11 @@ def build_argparser():
                         "post-sort row gather as colors (-1 auto: off "
                         "pending TPU A/B; 0/1 force; implies "
                         "--gather_colors)")
+    p.add_argument("--bf16_pack", type=int, default=-1,
+                   help="pack non-position channels (and their backward "
+                        "cotangents) as bf16 pairs in the payload sorts — "
+                        "fwd 12→8 / bwd 11→7 sort operands at pair scale "
+                        "(-1 auto: on when compatible; 0/1 force)")
     p.add_argument("--cull_sublsb", type=int, default=-1,
                    help="drop (gaussian, tile) pairs whose max alpha in "
                         "the tile is sub-LSB (< 1/510), by an exact "
@@ -947,6 +952,7 @@ def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
         fused_pack=True if a.fused_pack < 0 else bool(a.fused_pack),
         gather_colors=a.gather_colors,
         gather_geom=a.gather_geom,
+        bf16_pack=a.bf16_pack,
         cull_sublsb=a.cull_sublsb,
         opa_init_value=a.opa_init_value,
         scale_init_value=a.scale_init_value,

@@ -27,3 +27,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight e2e/grad-match tests (full suite tier; the "
+        "quick tier `pytest -m 'not slow'` stays under ~3 min on CPU)")

@@ -21,6 +21,8 @@ from fixtures import make_scene
 from test_train_e2e import _splat
 
 
+pytestmark = pytest.mark.slow  # e2e tier: run with -m slow
+
 def test_dp_same_camera_matches_single(tmp_path):
     make_scene(str(tmp_path), n_points=80, n_cameras=8, w=64, h=48)
     sp = _splat(str(tmp_path))

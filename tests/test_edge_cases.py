@@ -6,6 +6,7 @@ through the same code path.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -78,6 +79,7 @@ def test_degenerate_covariance(rng):
     assert np.isfinite(np.asarray(img)).all()
 
 
+@pytest.mark.slow
 def test_chunk_budget_overflow_fail_safe(rng):
     """Tiles truncated by the chunk budget must render black, never garbage.
 

@@ -2,6 +2,7 @@
 grad accumulators, step counter)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,8 @@ from gsplat_tpu.train import Trainer
 from fixtures import make_scene
 from test_train_e2e import _splat
 
+
+pytestmark = pytest.mark.slow  # e2e tier: run with -m slow
 
 def test_full_resume_bit_exact(tmp_path):
     make_scene(str(tmp_path / "scene"), n_points=80, n_cameras=5, w=48, h=32)

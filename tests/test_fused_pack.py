@@ -39,6 +39,7 @@ def _render_fused(proj, opa, color, bspec, rspec, **kw):
     return rasterize(packed, meta, rspec, **kw), meta
 
 
+@pytest.mark.slow
 def test_fused_matches_legacy_fwd_and_diag(rng):
     proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
     a, binned = _render_legacy(proj, opa, color, bspec, rspec,
@@ -51,6 +52,7 @@ def test_fused_matches_legacy_fwd_and_diag(rng):
         assert int(getattr(binned, f)) == int(getattr(meta, f)), f
 
 
+@pytest.mark.slow
 def test_fused_full_input_grads_match(rng):
     """Gradients w.r.t. mean2d, cov2d, opa and color all match legacy."""
     proj, opa, color, bspec, rspec = image_space_scene(rng, n=120)
@@ -78,6 +80,7 @@ def test_fused_full_input_grads_match(rng):
                                    atol=1e-6, rtol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_fused_multichunk_and_jnp_compositor(rng):
     """Dense multi-chunk scene; fused buffers feed both compositors."""
     proj, opa, color, bspec, rspec = image_space_scene(
@@ -94,6 +97,7 @@ def test_fused_multichunk_and_jnp_compositor(rng):
     np.testing.assert_allclose(np.asarray(b), np.asarray(c), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_sh_grads_match(rng):
     proj, opa, color, bspec, rspec = image_space_scene(
         rng, n=100, color_dim=27)
@@ -117,6 +121,7 @@ def test_fused_sh_grads_match(rng):
                                    atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_truncation_fail_safe(rng):
     """Chunk-budget overflow on the fused path: truncated tiles go black."""
     proj, opa, color, bspec, rspec = image_space_scene(rng, n=80)
@@ -190,6 +195,7 @@ def test_colcap_matches_dense_fwd(rng):
     assert fills[0] >= fills[-1] >= 0 and fills.sum() == int(meta_c.n_pairs)
 
 
+@pytest.mark.slow
 def test_colcap_tight_caps_grads_match_dense(rng):
     """With caps >= fills, colcap gradients equal dense gradients."""
     proj, opa, color, bspec, rspec = image_space_scene(rng, n=120)
@@ -217,6 +223,7 @@ def test_colcap_tight_caps_grads_match_dense(rng):
                                    atol=1e-6, rtol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_colcap_cap_overflow_fail_safe(rng):
     """Column caps too small: deepest rows' pairs drop, diagnosed, finite."""
     proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
@@ -239,6 +246,7 @@ def test_colcap_cap_overflow_fail_safe(rng):
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_colcap_sh_matches_dense(rng):
     proj, opa, color, bspec, rspec = image_space_scene(
         rng, n=90, color_dim=27)
@@ -257,6 +265,7 @@ def test_colcap_sh_matches_dense(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_packed_bf16_render_close_to_f32(rng):
     """The bf16-packed render preset: small image error vs the f32 path.
 
@@ -351,6 +360,7 @@ def test_gather_colors_sh_matches_dense(rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gather_colors_full_grads_match(rng):
     """All input gradients through the gather route == dense route, with
     tight column caps exercising the v_rows < V gathered-window cut."""
@@ -383,6 +393,7 @@ def test_gather_colors_full_grads_match(rng):
                                    atol=1e-6, rtol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_gather_colors_rgb_matches_legacy(rng):
     """gather_colors forced on for RGB (not the default) still matches."""
     proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
@@ -462,6 +473,7 @@ def test_gather_geom_matches_legacy_rgb(rng):
     np.testing.assert_allclose(np.asarray(b), np.asarray(j), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gather_geom_full_grads_match(rng):
     """All input gradients through the full gather route == dense route,
     with tight column caps exercising the v_rows < V gathered window."""
@@ -490,6 +502,7 @@ def test_gather_geom_full_grads_match(rng):
                                    atol=1e-6, rtol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_gather_geom_sh_matches_dense(rng):
     """SH through the full gather route (2-operand sort) == dense route,
     forward and gradients."""
@@ -606,6 +619,7 @@ def test_cull_sublsb_subvisible_only(rng):
     assert diff.max() < 1.0 / 255.0, diff.max()
 
 
+@pytest.mark.slow
 def test_cull_sublsb_grads_finite_and_close(rng):
     """Training through the cull: gradients stay finite and match the
     uncalled route to sub-LSB scale."""
@@ -630,6 +644,7 @@ def test_cull_sublsb_grads_finite_and_close(rng):
                                    atol=5e-3, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_cull_sublsb_with_gather_geom(rng):
     """The cull composes with the full gather route (the A/B's combined
     variant): sub-LSB image delta vs the unculled gather render, finite
@@ -666,6 +681,7 @@ def test_cull_sublsb_with_gather_geom(rng):
                                    atol=5e-3, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_px_split_identical(rng):
     """Sub-tile early stop (px_split=2) must not change the image beyond
     ulp-level fusion reassociation: the per-half gates only skip work whose
@@ -696,6 +712,7 @@ def test_px_split_sh(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_px_split_grads_match(rng):
     """Backward sub-tile gating must reproduce the ungated gradients
     (tolerances allow half-width reduction-tree reassociation: both modes
@@ -719,6 +736,7 @@ def test_px_split_grads_match(rng):
                                    rtol=1e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_cull_sublsb_keeps_degenerate_covs_dist_method(rng):
     """Under method="dist" (whose bbox stage skips the det check) a det<=0
     covariance makes the iso test unsatisfiable (pn < 0); the conservative
@@ -774,3 +792,96 @@ def test_gather_geom_single_sort(rng):
     both = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1)))(
         _geom_n(proj, opa), color)
     assert pair_sorts(both.jaxpr) == 2, both.jaxpr  # fwd 1 + bwd 1
+
+
+def _bf16_pack_spec(bspec, **kw):
+    return _colcap_spec(bspec)._replace(bf16_pack=True, **kw)
+
+
+def test_bf16_pack_close_to_f32_fwd_and_grads(rng):
+    """Train-capable packed payloads: forward ~bf16-exact vs f32, grads
+    close (the backward also rides packed cotangents), positions exact.
+
+    Position payloads stay f32, so the unpacked x/y columns must be
+    BIT-exact; cov/opa/color round-trip through bf16 (~0.4% relative)."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    rspec = rspec._replace(channel_major=True)
+    spec_f = _colcap_spec(bspec)
+    spec_p = _bf16_pack_spec(bspec)
+    a, ma = pack_sorted(spec_f, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mb = pack_sorted(spec_p, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    # same buffer contract as the f32 route: f32 channel-major (8, S)/(8, S)
+    assert b[0].dtype == jnp.float32 and b[0].shape == a[0].shape
+    assert b[1].dtype == jnp.float32 and b[1].shape == a[1].shape
+    np.testing.assert_array_equal(np.asarray(a[0][:2]),
+                                  np.asarray(b[0][:2]))  # x, y exact
+    img_f = rasterize(a, ma, rspec, use_pallas=True, interpret=True)
+    img_p = rasterize(b, mb, rspec, use_pallas=True, interpret=True)
+    f, p = np.asarray(img_f), np.asarray(img_p)
+    mse = float(((f - p) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 40, psnr
+    for fld in ("n_pairs", "n_clipped", "n_visible", "n_chunks_used"):
+        assert int(getattr(ma, fld)) == int(getattr(mb, fld)), fld
+
+    tgt = jnp.asarray(np.random.default_rng(7).uniform(
+        0, 1, (3, rspec.padded_h, rspec.padded_w)), jnp.float32)
+
+    def loss(spec):
+        def f(mean2d, cov2d, opa_, color_):
+            p_ = proj._replace(mean2d=mean2d, cov2d=cov2d)
+            pk, mt = pack_sorted(spec, _geom_n(p_, opa_), color_,
+                                 p_.depth, p_.visible)
+            img = rasterize(pk, mt, rspec, use_pallas=True, interpret=True)
+            return jnp.mean((img - tgt) ** 2)
+        return f
+
+    args = (proj.mean2d, proj.cov2d, opa, color)
+    g1 = jax.grad(loss(spec_f), argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss(spec_p), argnums=(0, 1, 2, 3))(*args)
+    for a_, b_, name in zip(g1, g2, ("mean2d", "cov2d", "opa", "color")):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        scale = max(float(np.abs(a_).max()), 1e-8)
+        np.testing.assert_allclose(a_, b_, atol=2e-2 * scale, err_msg=name)
+
+
+def test_bf16_pack_sh_gather_colors(rng):
+    """bf16_pack composes with the SH gather_colors route: geometry packs
+    (5 payloads), the 27-coeff color block still moves by one row gather
+    at FULL f32 precision — colors must match the f32 route exactly."""
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=80, color_dim=27)
+    rspec = rspec._replace(channel_major=True, color_row_major=True)
+    spec_f = _colcap_spec(bspec)._replace(gather_colors=True)
+    spec_p = _bf16_pack_spec(bspec, gather_colors=True)
+    a, ma = pack_sorted(spec_f, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mb = pack_sorted(spec_p, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[0][:2]), np.asarray(b[0][:2]))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               atol=1e-2, rtol=1e-2)
+
+    def loss(spec):
+        def f(opa_, color_):
+            pk, mt = pack_sorted(spec, _geom_n(proj, opa_), color_,
+                                 proj.depth, proj.visible)
+            return jnp.sum(pk[0] ** 2) + jnp.sum(pk[1] ** 2)
+        return f
+
+    g1 = jax.grad(loss(spec_f), argnums=(0, 1))(opa, color)
+    g2 = jax.grad(loss(spec_p), argnums=(0, 1))(opa, color)
+    for a_, b_, name in zip(g1, g2, ("opa", "color")):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        scale = max(float(np.abs(a_).max()), 1e-8)
+        np.testing.assert_allclose(a_, b_, atol=2e-2 * scale, err_msg=name)
+
+
+def test_bf16_pack_requires_colcap(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=40)
+    with pytest.raises(AssertionError, match="colcap"):
+        pack_sorted(bspec._replace(bf16_pack=True), _geom_n(proj, opa),
+                    color, proj.depth, proj.visible)

@@ -19,6 +19,8 @@ from gsplat_tpu.models.splatter import Splatter  # noqa: E402
 from gsplat_tpu.train import Trainer  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # e2e tier: run with -m slow
+
 @pytest.fixture(scope="module")
 def mixed(tmp_path_factory):
     root = tmp_path_factory.mktemp("mixed")

@@ -8,6 +8,7 @@ scenes force 10+ chunks per tile.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -56,6 +57,7 @@ def test_multichunk_early_stop_vs_oracle(rng):
                                atol=5e-4, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_multichunk_sh_pallas_grads(rng):
     proj, opa, color, bspec, rspec = image_space_scene(
         rng, n=900, sigma_px=(4.0, 18.0), color_dim=27)
@@ -86,6 +88,7 @@ def test_multichunk_sh_pallas_grads(rng):
                                    atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_multichunk_pallas_grads(rng):
     proj, opa, color, bspec, rspec = _dense_scene(rng, opa_scale=0.6)
     binned = bin_gaussians(proj, bspec)

@@ -24,6 +24,8 @@ from fixtures import make_scene
 from test_train_e2e import _splat
 
 
+pytestmark = pytest.mark.slow  # e2e tier: run with -m slow
+
 @pytest.fixture(scope="module")
 def scene8(tmp_path_factory):
     d = tmp_path_factory.mktemp("scene8")

@@ -1,6 +1,7 @@
 """Projection / EWA math: hand-checked geometry + autodiff sanity."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -86,6 +87,7 @@ def test_projection_vs_numpy_ewa_oracle():
         np.testing.assert_allclose(float(p.depth[i]), norm, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_projection_gradients_finite_diff():
     jax.config.update("jax_enable_x64", True)
     try:

@@ -110,6 +110,7 @@ def test_sh_mode_matches_oracle(rng):
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sh_pallas_matches_jnp(rng):
     proj, opa, color, bspec, rspec = image_space_scene(rng, n=30, color_dim=27)
     binned = bin_gaussians(proj, bspec)
@@ -176,6 +177,7 @@ def test_grads_flow_to_gaussian_params(rng):
         assert np.abs(g[~vis]).sum() == 0
 
 
+@pytest.mark.slow
 def test_weight_normalize_pallas_matches_jnp_fwd_and_grads(rng):
     """weight_normalize now trains on the pallas path: normalization is
     applied outside the kernel (assemble_image) and the backward kernel

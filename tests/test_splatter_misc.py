@@ -16,6 +16,7 @@ from helpers import image_space_scene
 from test_train_e2e import _splat
 
 
+@pytest.mark.slow
 def test_switch_resolution(tmp_path):
     make_scene(str(tmp_path), n_points=60, n_cameras=3, w=64, h=48,
                downsample=4)

@@ -15,6 +15,8 @@ from gsplat_tpu.train import Trainer
 from fixtures import make_scene
 
 
+pytestmark = pytest.mark.slow  # e2e tier: run with -m slow
+
 @pytest.fixture(scope="module")
 def scene(tmp_path_factory):
     d = tmp_path_factory.mktemp("scene")

@@ -1,6 +1,7 @@
 """Windowed (scan-based) training must match step-at-a-time training."""
 
 import numpy as np
+import pytest
 import jax
 
 from gsplat_tpu.config import TrainConfig
@@ -9,6 +10,8 @@ from gsplat_tpu.train import Trainer
 from fixtures import make_scene
 from test_train_e2e import _splat
 
+
+pytestmark = pytest.mark.slow  # e2e tier: run with -m slow
 
 def test_window_matches_single_steps(tmp_path):
     make_scene(str(tmp_path), n_points=70, n_cameras=5, w=48, h=32)

@@ -20,6 +20,8 @@ from gsplat_tpu.models.splatter import Splatter  # noqa: E402
 from gsplat_tpu.viewer import camera_to_w2c, render_offscreen, run_viewer  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # e2e tier: run with -m slow
+
 @pytest.fixture(scope="module")
 def splat(tmp_path_factory):
     root = tmp_path_factory.mktemp("scene")

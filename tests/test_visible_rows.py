@@ -2,6 +2,7 @@
 covers all visible gaussians; diagnostics when it doesn't."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gsplat_tpu.ops.binning import bin_gaussians, pack_pairs
@@ -32,6 +33,7 @@ def test_visible_budget_exact_when_covering(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_visible_budget_grads_match(rng):
     import jax
 

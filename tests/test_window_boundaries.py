@@ -3,6 +3,7 @@ clears) must land exactly where the step-at-a-time reference semantics put
 them, even when steps are batched into scan windows."""
 
 import numpy as np
+import pytest
 
 from gsplat_tpu.config import TrainConfig
 from gsplat_tpu.train import Trainer
@@ -10,6 +11,8 @@ from gsplat_tpu.train import Trainer
 from fixtures import make_scene
 from test_train_e2e import _splat
 
+
+pytestmark = pytest.mark.slow  # e2e tier: run with -m slow
 
 def test_boundaries_and_logs(tmp_path):
     make_scene(str(tmp_path / "s"), n_points=60, n_cameras=9, w=48, h=32)
