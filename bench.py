@@ -94,6 +94,7 @@ def run_bench(args, result):
                       fused_pack=fused,
                       gather_colors=int(args.gather_colors),
                       gather_geom=int(args.gather_geom),
+                      quant_depth=int(args.quant_depth),
                       bf16_pack=int(args.bf16_pack),
                       cull_sublsb=int(args.cull_sublsb))
     if args.chunk_size:
@@ -332,6 +333,8 @@ def main():
                     help="full gather route: sort carries only (key, flat); "
                          "geometry rides the same post-sort row gather "
                          "(-1 auto: off; 0/1 force)")
+    ap.add_argument("--quant_depth", type=int, default=-1,
+                    help="quantized depth keys (-1 auto: on; 0/1 force)")
     ap.add_argument("--bf16_pack", type=int, default=-1,
                     help="bf16-paired payload-sort operands for both "
                          "directions (-1 auto: on when compatible; 0/1 "

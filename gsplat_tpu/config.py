@@ -63,6 +63,12 @@ class SplatConfig:
     # capacity bucketing: gaussian table capacity is rounded up to a multiple
     # of this, so densification only recompiles when crossing a bucket edge.
     capacity_round: int = 65536
+    # Hard ceiling on table capacity (0 = unlimited).  At the ceiling,
+    # densification keeps deleting/splitting within the fixed table but
+    # clone/split proposals that do not fit are dropped (the unlimited
+    # mode's grow-and-rerun never drops).  Used by quality-proof runs that
+    # must stay below the GT gaussian count.
+    max_capacity: int = 0
     # Aligned-slot budget beyond the one-chunk-per-tile floor: explicit
     # capacity wins; otherwise pair_factor * table capacity.  The trainer
     # retunes this from observed n_pairs (dead pair slots cost rasterizer
@@ -108,6 +114,12 @@ class SplatConfig:
     # post-sort row gather as colors (ops/binning gather_geom).  -1 = auto
     # (currently off pending TPU A/B measurement); 0/1 force.
     gather_geom: int = -1
+    # Quantized depth keys (ops/binning quant_depth): depth enters the pack
+    # sort as an 18-bit linear quantization instead of an exact rank —
+    # both depth argsorts disappear (~1.3 ms/frame at Garden scale).
+    # Still finer than the reference's ~11-mantissa-bit float key.
+    # -1 = auto (ON when compatible: fused colcap); 0/1 force.
+    quant_depth: int = -1
     # Train-capable packed payload sort (ops/binning bf16_pack): cov, opa
     # and color channels ride the fused pack's payload sort as bf16 pairs
     # bitcast into i32 operands (positions and their grads stay f32), and

@@ -234,15 +234,21 @@ def reset_opacity(table: GaussianTable) -> GaussianTable:
 
 def grow_capacity(table: GaussianTable, capacity_round: int,
                   headroom: float = 1.5,
-                  min_capacity: int = 0) -> GaussianTable:
+                  min_capacity: int = 0,
+                  max_capacity: int = 0) -> GaussianTable:
     """Host-side bucketed capacity growth (recompile boundary).
 
     ``min_capacity`` forces at least that many slots — used by the
     densify-overflow retry, where the needed total (stats.n_wanted) can
-    exceed occupancy-based growth."""
+    exceed occupancy-based growth.  ``max_capacity`` (0 = unlimited) caps
+    the result — quality-proof runs bound their trainable budget."""
     n = int(table.n_live)
     new_cap = _round_capacity(max(int(n * headroom), min_capacity),
                               capacity_round)
+    if max_capacity:
+        new_cap = min(new_cap, max(_round_capacity(max_capacity,
+                                                   capacity_round),
+                                   table.capacity))
     if new_cap <= table.capacity:
         return table
 

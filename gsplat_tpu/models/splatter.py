@@ -188,6 +188,9 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
     bp_flag = int(getattr(cfg, "bf16_pack", 0))
     bf16_pack = (True if bp_flag == -1 else bool(bp_flag)) and ok \
         and not gather_geom
+    qd_flag = int(getattr(cfg, "quant_depth", 0))
+    quant_depth = (True if qd_flag == -1 else bool(qd_flag)) and fused \
+        and getattr(cfg, "plane_mode", "dense") == "colcap"
     bspec = BinningSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_len_x=grid.tile_geo_length_x, tile_len_y=grid.tile_geo_length_y,
@@ -202,6 +205,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         col_caps=_norm_col_caps(getattr(cfg, "col_caps", None),
                                 cfg.max_tiles_per_gaussian),
         packed_bf16=bool(getattr(cfg, "packed_bf16", False)),
+        quant_depth=quant_depth,
         bf16_pack=bf16_pack,
         gather_colors=gather_colors,
         gather_geom=gather_geom,
@@ -471,7 +475,11 @@ class Splatter:
         """Grow table capacity if occupancy is high; True if grown."""
         n = int(self.table.n_live)
         if n > 0.88 * self.table.capacity:
-            self.table = grow_capacity(self.table, self.cfg.capacity_round)
+            mc = int(getattr(self.cfg, "max_capacity", 0) or 0)
+            if mc and self.table.capacity >= mc:
+                return False                      # saturated at the ceiling
+            self.table = grow_capacity(self.table, self.cfg.capacity_round,
+                                       max_capacity=mc)
             return True
         return False
 

@@ -121,6 +121,14 @@ class BinningSpec(NamedTuple):
     # scale) for one 32-B row gather (~5 ns/row at slot scale) per
     # direction.
     gather_geom: bool = False
+    # Quantized depth keys (colcap only): depth enters the composite sort
+    # key as an rb-bit linear quantization instead of an exact argsort rank,
+    # eliminating both depth argsorts from the pack.  rb = 18 bits at
+    # Garden tile counts — finer than the reference's float key (~11
+    # mantissa bits after the tile id, splatter.py:608-613).  Deterministic
+    # (stable sorts break bin ties); the visible-row overflow cut degrades
+    # into column-cap clipping.
+    quant_depth: bool = False
     # TRAIN-CAPABLE packed payloads (colcap only): cov/opa/color channels
     # ride the payload sort as bf16 pairs bitcast into i32 operands, cutting
     # the forward sort from key+flat+10 f32 operands to key+flat+2 f32
@@ -454,6 +462,8 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
     assert not spec.bf16_pack, \
         "bf16_pack requires plane_mode='colcap' (packed payload rows are " \
         "built by the column-compacted plane)"
+    assert not spec.quant_depth, \
+        "quant_depth requires plane_mode='colcap'"
     n = depth.shape[0]
     K, G, T = spec.max_tiles_per_gaussian, spec.chunk_size, spec.n_tiles
     V = min(spec.visible_rows or n, n)
@@ -669,18 +679,39 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     pad_rank = jnp.int32((1 << rb) - 1)
 
     # ---- depth ordering (keys only — no row gathers yet) -----------------
-    depth_key = jnp.where(visible, depth, jnp.inf)
-    order = jnp.argsort(depth_key).astype(jnp.int32)
-    inv_order = jnp.argsort(order).astype(jnp.int32)    # depth rank per row
     n_visible = jnp.sum(visible)
     n_vis_dropped = jnp.maximum(n_visible - V, 0)
-    if _stop == "order":
-        return (order, inv_order), None, None
+    if spec.quant_depth:
+        # rb-bit linear depth quantization instead of an exact rank: kills
+        # both depth argsorts.  At Garden tile counts rb = 18 bits — far
+        # finer than the reference's float key, which keeps only the ~11
+        # mantissa bits left after the tile id (splatter.py:608-613).
+        # Ties within one depth bin are broken by the stable composite
+        # sort (deterministic, coverage-then-row order).  The visible-row
+        # budget cut degrades into column-cap clipping (deepest rows of
+        # each coverage class drop first) — n_vis_dropped still reports.
+        depth_key = jnp.where(visible, depth, jnp.inf)
+        dmin = jnp.min(depth_key)
+        dmax = jnp.max(jnp.where(visible, depth, -jnp.inf))
+        qmax = (1 << rb) - 2
+        span = jnp.maximum(dmax - dmin, 1e-9)
+        qd = (jnp.nan_to_num((depth - dmin) / span) * qmax)
+        inv_order = jnp.clip(qd.astype(jnp.int32), 0, qmax)
+        shift = 0
+        in_budget = visible
+        if _stop == "order":
+            return (inv_order,), None, None
+    else:
+        depth_key = jnp.where(visible, depth, jnp.inf)
+        order = jnp.argsort(depth_key).astype(jnp.int32)
+        inv_order = jnp.argsort(order).astype(jnp.int32)  # depth rank
+        # the visible-row budget cut is a mask, not a gather: rows whose
+        # depth rank falls past V count as coverage 0, like invisible rows
+        in_budget = visible & (inv_order < V)
+        if _stop == "order":
+            return (order, inv_order), None, None
 
     # ---- coverage + column fills in ORIGINAL order -----------------------
-    # (the visible-row budget cut is a mask, not a gather: rows whose depth
-    # rank falls past V count as coverage 0, exactly like invisible rows)
-    in_budget = visible & (inv_order < V)
     x0a, y0a, rwa, rha = _tile_bbox(spec, geom_n[:, 0:2], geom_n[:, 2:6],
                                     in_budget)
     area = rwa * rha
@@ -689,7 +720,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     n_max_tiles = jnp.max(area)
     m = jnp.stack([jnp.sum(cov > k) for k in range(K)])  # (K,) fills
     if _stop == "cov":
-        return (order, inv_order, cov, m, n_clipped), None, None
+        return (inv_order, cov, m, n_clipped), None, None
 
     # ---- ONE composed permutation: coverage-major, depth-rank-minor ------
     # The old pipeline gathered all channel rows to depth order and then
@@ -697,13 +728,15 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     # XLA gather speed).  A composite integer key sorts straight from the
     # original order, the row gather happens once, and only the first
     # max(col_caps) rows — the only rows any column slice reads — move.
-    rb2 = max(int(n - 1).bit_length(), 1)
+    rb2 = max(int(n - 1).bit_length(), rb if spec.quant_depth else 1, 1)
     assert (K << rb2) < (1 << 31), (K, rb2)
-    comp_key = ((K - cov) << rb2) | inv_order           # unique → stable
+    # minor key: exact depth rank (unique) or quantized depth (ties broken
+    # deterministically by jnp.argsort's stability)
+    comp_key = ((K - cov) << rb2) | inv_order
     comp_order = jnp.argsort(comp_key).astype(jnp.int32)
     inv_comp = jnp.argsort(comp_order).astype(jnp.int32)
     if _stop == "perm":
-        return (order, inv_order, comp_order, inv_comp), None, None
+        return (inv_order, comp_order, inv_comp), None, None
     v_rows = min(max(caps), V)                          # gathered window
     sel = comp_order[:v_rows]
     bx = int(spec.n_tile_x + 1).bit_length()
@@ -716,7 +749,9 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     # gathers, two element gathers, a second transpose and a full bbox
     # recompute (the round-3d profile's gather+bbox = 9.8 ms of a 33 ms
     # pack, PERF.md round-4).
-    use_mat = spec.bf16_pack and (2 * bx + 2 * by) <= 31
+    n_extra_m = 1 + (0 if spec.gather_colors else c_cols)
+    use_mat = (spec.bf16_pack or spec.packed_bf16) \
+        and (2 * bx + 2 * by) <= 31 and 6 + (n_extra_m + 1) // 2 <= 8
     if use_mat:
         def f2i(val):
             return jax.lax.bitcast_convert_type(val, jnp.int32)

@@ -560,15 +560,20 @@ class Trainer:
             )
 
         new_table, stats = run_control(pre_table, grad_avg)
-        if bool(stats.overflowed):
+        mc = int(getattr(self.splat.cfg, "max_capacity", 0) or 0)
+        if bool(stats.overflowed) and not (mc
+                                           and pre_table.capacity >= mc):
             # Capacity couldn't hold all proposed clones/splits.  The
             # reference never drops proposals (torch.cat grows the tensors,
             # splatter.py:225-228) — grow the PRE-control table to fit
-            # stats.n_wanted and re-run, so nothing is lost.
+            # stats.n_wanted and re-run, so nothing is lost.  (At an
+            # explicit max_capacity ceiling the clamped result stands:
+            # overflow proposals drop, documented in SplatConfig.)
             from gsplat_tpu.models.gaussians import grow_capacity as _grow
             need = int(stats.n_wanted)
             pre_table = _grow(pre_table, self.splat.cfg.capacity_round,
-                              min_capacity=int(need * 1.1) + 1)
+                              min_capacity=int(need * 1.1) + 1,
+                              max_capacity=mc)
             pad_n = pre_table.capacity - grad_avg.shape[0]
             if pad_n > 0:
                 grad_avg = jnp.concatenate(
@@ -889,6 +894,11 @@ def build_argparser():
                         "post-sort row gather as colors (-1 auto: off "
                         "pending TPU A/B; 0/1 force; implies "
                         "--gather_colors)")
+    p.add_argument("--quant_depth", type=int, default=-1,
+                   help="18-bit quantized depth keys instead of exact "
+                        "depth ranks in the pack sort — both depth "
+                        "argsorts disappear; still finer than the "
+                        "reference's float key (-1 auto: on; 0/1 force)")
     p.add_argument("--bf16_pack", type=int, default=-1,
                    help="pack non-position channels (and their backward "
                         "cotangents) as bf16 pairs in the payload sorts — "
@@ -934,6 +944,11 @@ def build_argparser():
     p.add_argument("--capacity_round", type=int, default=65536,
                    help="gaussian table capacity bucket (smaller for tiny "
                         "scenes to avoid padded compute)")
+    p.add_argument("--max_capacity", type=int, default=0,
+                   help="hard table-capacity ceiling (0 = unlimited); at "
+                        "the ceiling densify proposals that do not fit "
+                        "are dropped — quality-proof runs bound their "
+                        "trainable budget below the GT gaussian count")
     p.add_argument("--metrics_every", type=int, default=20)
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel width: train over an N-device "
@@ -952,6 +967,7 @@ def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
         fused_pack=True if a.fused_pack < 0 else bool(a.fused_pack),
         gather_colors=a.gather_colors,
         gather_geom=a.gather_geom,
+        quant_depth=a.quant_depth,
         bf16_pack=a.bf16_pack,
         cull_sublsb=a.cull_sublsb,
         opa_init_value=a.opa_init_value,
@@ -970,6 +986,7 @@ def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
         chunk_size=a.chunk_size,
         use_pallas=bool(a.use_pallas),
         capacity_round=a.capacity_round,
+        max_capacity=a.max_capacity,
     )
     tcfg = TrainConfig(
         n_iters=a.n_iters, n_iters_warmup=a.n_iters_warmup,

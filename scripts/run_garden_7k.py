@@ -26,10 +26,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="/tmp/garden_synth")
+    ap.add_argument("--scene", default="")
+    ap.add_argument("--preset", default="garden_hard",
+                    help="make_synth_scene preset used when --scene is "
+                         "missing.  garden_hard = the non-realizable "
+                         "quality-proof scene (1.2M SH GT + sensor noise, "
+                         "oracle ceiling reported); garden = the round-3 "
+                         "realizable scene")
     ap.add_argument("--exp", default="runs/7k_garden")
     ap.add_argument("--n_iters", type=int, default=7001)
     ap.add_argument("--use_sh_coeff", type=int, default=0)
+    ap.add_argument("--max_capacity", type=int, default=-1,
+                    help="table-capacity ceiling (-1: 524288 for "
+                         "garden_hard — keeps the trainable budget at "
+                         "~0.44x the 1.2M GT count; 0 = unlimited)")
     ap.add_argument("--fused_pack", type=int, default=-1,
                     help="route pass-through (-1 auto; 0 legacy binning — "
                          "the known-compiling SH fallback; 1 fused)")
@@ -39,6 +49,10 @@ def main():
     ap.add_argument("--resume", type=int, default=1,
                     help="resume from {exp}/full_state.npz when present")
     args = ap.parse_args()
+    if not args.scene:
+        args.scene = f"/tmp/{args.preset}_synth"
+    if args.max_capacity < 0:
+        args.max_capacity = 524288 if args.preset == "garden_hard" else 0
 
     from gsplat_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -46,7 +60,7 @@ def main():
     if not os.path.exists(os.path.join(args.scene, "sparse", "0",
                                        "points3D.bin")):
         from make_synth_scene import main as make_scene, PRESETS
-        make_scene(args.scene, **PRESETS["garden"])
+        make_scene(args.scene, **PRESETS[args.preset])
 
     os.makedirs(args.exp, exist_ok=True)
     log_path = os.path.join(args.exp, "train.log")
@@ -78,6 +92,7 @@ def main():
         # (n_max_tiles ~ half the grid); growing K after them explodes the
         # candidate plane, and the clip fail-safe costs little quality
         "--max_tiles_cap", "40",
+        "--max_capacity", str(args.max_capacity),
         "--n_save_train_img", "1000",
         "--metrics_every", str(args.metrics_every),
     ]
@@ -126,19 +141,45 @@ def main():
             last_save[0] = i_iter
 
     trainer._post_step = post_save
+
+    # steady-state it/s: wall time of the last quarter of the run (past the
+    # densification growth phase, so the number excludes ladder recompiles)
+    steady_from = max(start, a.n_iters - max(a.n_iters // 4, 500))
+    steady_mark = [None]
+    orig_post2 = trainer._post_step
+
+    def post_mark(i_iter):
+        orig_post2(i_iter)
+        if steady_mark[0] is None and i_iter >= steady_from:
+            steady_mark[0] = (i_iter, time.time())
+
+    trainer._post_step = post_mark
     trainer.train(metrics_every=a.metrics_every, log=log, start=start)
     wall = time.time() - t0
+    steady_it_s = None
+    if steady_mark[0] and a.n_iters - steady_mark[0][0] > 100:
+        steady_it_s = ((a.n_iters - steady_mark[0][0])
+                       / max(time.time() - steady_mark[0][1], 1e-9))
     ev = trainer.evaluate()
     trainer.save()
     trainer.save_full(os.path.join(args.exp, "full_state.npz"), a.n_iters)
+    ceiling = None
+    ceil_path = os.path.join(args.scene, "gt_ceiling.json")
+    if os.path.exists(ceil_path):
+        ceiling = json.load(open(ceil_path))
     summary = {
         "n_iters": a.n_iters, "wall_s": wall,
         "it_per_s_incl_compiles": a.n_iters / wall,
+        "steady_it_per_s": steady_it_s,
         "final_psnr": ev["psnr"], "final_ssim": ev["ssim"],
         "final_fps": ev["fps"],
+        "eval_fps_basis": ev.get("fps_frames"),
         "n_gaussians": int(trainer.splat.table.n_live),
         "capacity_trajectory": cap_traj,
         "use_sh_coeff": args.use_sh_coeff,
+        "scene_preset": args.preset,
+        "max_capacity": args.max_capacity,
+        "oracle_ceiling": ceiling,
     }
     log("SUMMARY " + json.dumps(summary))
     with open(os.path.join(args.exp, "summary.json"), "w") as f:

@@ -885,3 +885,57 @@ def test_bf16_pack_requires_colcap(rng):
     with pytest.raises(AssertionError, match="colcap"):
         pack_sorted(bspec._replace(bf16_pack=True), _geom_n(proj, opa),
                     color, proj.depth, proj.visible)
+
+
+def test_quant_depth_close_to_exact_rank(rng):
+    """18-bit quantized depth keys: with distinct depths the composite
+    order only changes within 2^-18 depth bins, so the image should be
+    ~identical to the exact-rank route; grads flow and diagnostics agree."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    rspec = rspec._replace(channel_major=True)
+    spec_f = _colcap_spec(bspec)
+    spec_q = spec_f._replace(quant_depth=True)
+    a, ma = pack_sorted(spec_f, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mb = pack_sorted(spec_q, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    img_f = rasterize(a, ma, rspec, use_pallas=True, interpret=True)
+    img_q = rasterize(b, mb, rspec, use_pallas=True, interpret=True)
+    f, q = np.asarray(img_f), np.asarray(img_q)
+    mse = float(((f - q) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45, psnr
+    assert int(ma.n_pairs) == int(mb.n_pairs)
+    assert int(ma.n_visible) == int(mb.n_visible)
+
+    def loss(opa_):
+        pk, mt = pack_sorted(spec_q, _geom_n(proj, opa_), color,
+                             proj.depth, proj.visible)
+        return jnp.sum(rasterize(pk, mt, rspec, use_pallas=True,
+                                 interpret=True) ** 2)
+
+    g = jax.grad(loss)(opa)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+    # composes with bf16_pack (the production default route)
+    spec_qb = spec_q._replace(bf16_pack=True)
+    c, mc = pack_sorted(spec_qb, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    img_qb = rasterize(c, mc, rspec, use_pallas=True, interpret=True)
+    mse2 = float(((np.asarray(img_qb) - f) ** 2).mean())
+    assert 10 * np.log10(1.0 / max(mse2, 1e-12)) > 40
+
+
+def test_quant_depth_empty_scene(rng):
+    """No visible gaussians: the quantized-depth normalization must not
+    produce NaN/garbage keys (dmin=+inf guard)."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=40)
+    rspec = rspec._replace(channel_major=True)
+    spec_q = _colcap_spec(bspec)._replace(quant_depth=True)
+    vis = jnp.zeros_like(proj.visible)
+    pk, meta = pack_sorted(spec_q, _geom_n(proj, opa), color,
+                           proj.depth, vis)
+    assert int(meta.n_pairs) == 0
+    img = rasterize(pk, meta, rspec, use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(img), 0.0)

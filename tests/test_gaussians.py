@@ -134,3 +134,25 @@ def test_checkpoint_roundtrip_pth(tmp_path):
     n = int(t.n_live)
     np.testing.assert_allclose(np.asarray(t2.pos)[:n], np.asarray(t.pos)[:n],
                                rtol=1e-6)
+
+
+def test_grow_capacity_ceiling():
+    """max_capacity caps bucketed growth; at the ceiling the table stops
+    growing (densify clamps instead — SplatConfig.max_capacity docs)."""
+    from gsplat_tpu.models.gaussians import grow_capacity
+    import numpy as np
+    import jax.numpy as jnp
+
+    n = 100
+    t = GaussianTable(
+        pos=jnp.zeros((128, 3)), rgb=jnp.zeros((128, 3)),
+        opa=jnp.zeros((128,)), quat=jnp.zeros((128, 4)),
+        scale=jnp.zeros((128, 3)),
+        live=jnp.asarray(np.arange(128) < n),
+        n_live=jnp.asarray(n, jnp.int32))
+    g1 = grow_capacity(t, 64, headroom=4.0)
+    assert g1.capacity == 448                      # 400 rounded to 64
+    g2 = grow_capacity(t, 64, headroom=4.0, max_capacity=256)
+    assert g2.capacity == 256
+    g3 = grow_capacity(g2, 64, headroom=4.0, max_capacity=256)
+    assert g3.capacity == 256                      # saturated, no-op
