@@ -693,7 +693,11 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         depth_key = jnp.where(visible, depth, jnp.inf)
         dmin = jnp.min(depth_key)
         dmax = jnp.max(jnp.where(visible, depth, -jnp.inf))
-        qmax = (1 << rb) - 2
+        # cap the resolution at 20 bits: rb can reach ~28 on small tile
+        # grids (tile-sharded render), and the composite coverage key needs
+        # K << rb2 to stay under 31 bits
+        qbits = min(rb, 20)
+        qmax = (1 << qbits) - 2
         span = jnp.maximum(dmax - dmin, 1e-9)
         qd = (jnp.nan_to_num((depth - dmin) / span) * qmax)
         inv_order = jnp.clip(qd.astype(jnp.int32), 0, qmax)
@@ -728,7 +732,8 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     # XLA gather speed).  A composite integer key sorts straight from the
     # original order, the row gather happens once, and only the first
     # max(col_caps) rows — the only rows any column slice reads — move.
-    rb2 = max(int(n - 1).bit_length(), rb if spec.quant_depth else 1, 1)
+    rb2 = max(int(n - 1).bit_length(),
+              min(rb, 20) if spec.quant_depth else 1, 1)
     assert (K << rb2) < (1 << 31), (K, rb2)
     # minor key: exact depth rank (unique) or quantized depth (ties broken
     # deterministically by jnp.argsort's stability)
