@@ -232,6 +232,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         packed_bf16=bspec.packed_bf16,
         color_row_major=bspec.gather_colors,
         geom_row_major=bspec.gather_geom,
+        sh_fast_matmul=bspec.bf16_pack and color_dim > 8,
         px_split=int(getattr(cfg, "px_split", 1)),
     )
     return bspec, rspec

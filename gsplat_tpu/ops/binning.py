@@ -633,6 +633,33 @@ def _unpack2(packed):
     return tofp(hi), tofp(lo)
 
 
+def _pack_color_cols(color_n):
+    """(N, c) f32 → (N, ceil(c/2)) i32 of bf16 pairs (j | half+j).
+
+    Row-gather cost on TPU cliffs with row width (measured: 56-64 B rows
+    ~6.5 ns/row, 112-128 B rows ~23 ns/row at slot scale) — halving the SH
+    color rows halves the dominant cost of the gather_colors route.  The
+    (hi-block, lo-block) channel split keeps the unpack a contiguous
+    concat, never an interleave.
+    """
+    n, c = color_n.shape
+    half = (c + 1) // 2
+    cols = [color_n[:, j] for j in range(c)]
+    if c % 2:
+        cols.append(jnp.zeros((n,), color_n.dtype))
+    return jnp.stack([_pack2_bf16(cols[j], cols[half + j])
+                      for j in range(half)], axis=1)
+
+
+def _use_matrix(spec, c_cols: int) -> bool:
+    """Whether the packed (N, 8)-i32 single-matrix gather path applies."""
+    bx = int(spec.n_tile_x + 1).bit_length()
+    by = int(spec.n_tile_y + 1).bit_length()
+    n_extra = 1 + (0 if spec.gather_colors else c_cols)
+    return bool(spec.bf16_pack or spec.packed_bf16) \
+        and (2 * bx + 2 * by) <= 31 and 6 + (n_extra + 1) // 2 <= 8
+
+
 def unpack2_bf16(packed):
     """(R, ...) i32 → (2R, ...) f32: [hi channels..., lo channels...].
 
@@ -754,9 +781,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     # gathers, two element gathers, a second transpose and a full bbox
     # recompute (the round-3d profile's gather+bbox = 9.8 ms of a 33 ms
     # pack, PERF.md round-4).
-    n_extra_m = 1 + (0 if spec.gather_colors else c_cols)
-    use_mat = (spec.bf16_pack or spec.packed_bf16) \
-        and (2 * bx + 2 * by) <= 31 and 6 + (n_extra_m + 1) // 2 <= 8
+    use_mat = _use_matrix(spec, c_cols)
     if use_mat:
         def f2i(val):
             return jax.lax.bitcast_convert_type(val, jnp.int32)
@@ -803,7 +828,10 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         rh = (bb >> (2 * bx + by)) & ((1 << by) - 1)
         rank = mt[5 + n_pk]
         if spec.gather_colors:
-            color_s = jnp.take(color_n, sel, axis=0)       # (Vr, c) f32
+            # wide colors pre-packed to bf16 pairs: the slot-scale row
+            # gather below runs on ceil(c/2)*4-byte rows (the >64 B row
+            # cliff costs 3.5x per row, see _pack_color_cols)
+            color_s = jnp.take(_pack_color_cols(color_n), sel, axis=0)
     else:
         geom_s = jnp.take(geom_n, sel, axis=0)              # (Vr, 8)
         color_s = jnp.take(color_n, sel, axis=0)            # (Vr, c)
@@ -1080,8 +1108,19 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                 in_k = (flat_s >= offp) & (flat_s < offp + cpk)
                 row = jnp.where(in_k, flat_s - offp, row)
                 offp += cpk
-            color_g = jnp.pad(color_s, ((0, 1), (0, c_pad)))  # (Vr+1, c8)
-            colors_pk = jnp.take(color_g, row, axis=0)        # (S, c8) ROW-major
+            if use_mat:
+                # color_s is bf16-pair packed (Vr, ceil(c/2)) i32: gather
+                # the narrow rows, then unpack as a contiguous hi/lo concat
+                color_g = jnp.pad(color_s, ((0, 1), (0, 0)))
+                pk2 = jnp.take(color_g, row, axis=0)      # (S, half) i32
+                hi, lo = _unpack2(pk2)
+                colors_pk = jnp.concatenate([hi, lo], axis=1)  # (S, 2*half)
+                if colors_pk.shape[1] < c8:
+                    colors_pk = jnp.pad(
+                        colors_pk, ((0, 0), (0, c8 - colors_pk.shape[1])))
+            else:
+                color_g = jnp.pad(color_s, ((0, 1), (0, c_pad)))
+                colors_pk = jnp.take(color_g, row, axis=0)  # (S, c8) ROW-major
         if spec.gather_geom:
             # geometry by the same map: 7 real channels + zero 8th column
             # (pad row AND pad column in one jnp.pad)
@@ -1244,12 +1283,27 @@ def _pack_sorted_bwd(spec, residuals, cts):
             s_of_p = out[1]                   # (L,) slot per candidate rank
             geom_out = out[2:9]
         c8 = g_color.shape[1]
-        g_color_p = jnp.concatenate(
-            [g_color, jnp.zeros((1, c8), g_color.dtype)], axis=0)
-        # candidates whose slot fell past the budget (or fit-padding) read
-        # the appended zero row
-        g_color_cand = jnp.take(
-            g_color_p, jnp.minimum(s_of_p, S), axis=0)     # (L, c8)
+        if spec.bf16_pack and _use_matrix(spec, c_cols):
+            # pack the color cotangents the same way the forward packed the
+            # values: bf16 pairs → half-width rows through the slot-scale
+            # gather (>64 B rows cost 3.5x per row, _pack_color_cols)
+            half = (c_cols + 1) // 2
+            gcols = [g_color[:, j] for j in range(2 * half)]
+            g_pk = jnp.stack(
+                [_pack2_bf16(gcols[j], gcols[half + j])
+                 for j in range(half)], axis=1)            # (S, half) i32
+            g_p = jnp.concatenate(
+                [g_pk, jnp.zeros((1, half), jnp.int32)], axis=0)
+            pk2 = jnp.take(g_p, jnp.minimum(s_of_p, S), axis=0)
+            hi, lo = _unpack2(pk2)
+            g_color_cand = jnp.concatenate([hi, lo], axis=1)  # (L, 2*half)
+        else:
+            g_color_p = jnp.concatenate(
+                [g_color, jnp.zeros((1, c8), g_color.dtype)], axis=0)
+            # candidates whose slot fell past the budget (or fit-padding)
+            # read the appended zero row
+            g_color_cand = jnp.take(
+                g_color_p, jnp.minimum(s_of_p, S), axis=0)     # (L, c8)
     else:
         geom_out = out[1:8]
 

@@ -80,6 +80,12 @@ class RasterSpec(NamedTuple):
     # kernels consume (G, 8) rows natively, so this merely skips the in-VMEM
     # transpose the channel-major layout needs)
     geom_row_major: bool = False
+    # SH color contractions at one-pass bf16 MXU precision instead of
+    # HIGHEST (3-6 passes).  Set when the pack side bf16-rounds the
+    # coefficients anyway (bf16_pack): the extra passes only refine bits
+    # the inputs no longer carry.  Logit error ~0.3%, inside the
+    # bf16_pack error budget.
+    sh_fast_matmul: bool = False
     # Sub-tile early termination: split the pixel (lane) axis into this
     # many independently-gated halves in the forward kernel.  The CUDA
     # kernel breaks per pixel (gaussian.cu:906); chunk-level gating is
@@ -267,7 +273,8 @@ def _chunk_colors(spec: RasterSpec, gc, shb):
         logits = jax.lax.dot_general(
             coeff, shb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.DEFAULT if spec.sh_fast_matmul
+                       else jax.lax.Precision.HIGHEST),
         )                                           # (G, Px)
         cols.append(jax.nn.sigmoid(logits))
     return cols
@@ -577,7 +584,9 @@ def _bwd_kernel(spec: RasterSpec,
                     dcoef = jax.lax.dot_general(
                         dlog, shb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=(jax.lax.Precision.DEFAULT
+                                   if spec.sh_fast_matmul
+                                   else jax.lax.Precision.HIGHEST),
                     )                                   # (G, 9)
                     col_out.append(dcoef)
             gcol = jnp.concatenate(col_out, axis=1)

@@ -849,8 +849,8 @@ def test_bf16_pack_close_to_f32_fwd_and_grads(rng):
 
 def test_bf16_pack_sh_gather_colors(rng):
     """bf16_pack composes with the SH gather_colors route: geometry packs
-    (5 payloads), the 27-coeff color block still moves by one row gather
-    at FULL f32 precision — colors must match the f32 route exactly."""
+    (5 payloads) and the 27-coeff color block moves by one HALF-WIDTH row
+    gather (bf16 pairs — >64 B rows cost 3.5x per row on TPU)."""
     proj, opa, color, bspec, rspec = image_space_scene(
         rng, n=80, color_dim=27)
     rspec = rspec._replace(channel_major=True, color_row_major=True)
@@ -860,7 +860,13 @@ def test_bf16_pack_sh_gather_colors(rng):
                         proj.depth, proj.visible)
     b, mb = pack_sorted(spec_p, _geom_n(proj, opa), color,
                         proj.depth, proj.visible)
-    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert a[1].shape == b[1].shape
+    # colors are bf16-roundtripped values moved by the same permutation:
+    # where the f32 block is exactly representable the match is exact, and
+    # everywhere within bf16 relative precision
+    cf, cp = np.asarray(a[1]), np.asarray(b[1])
+    np.testing.assert_allclose(cf, cp, atol=4e-3 * max(np.abs(cf).max(), 1),
+                               rtol=8e-3)
     np.testing.assert_array_equal(np.asarray(a[0][:2]), np.asarray(b[0][:2]))
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
                                atol=1e-2, rtol=1e-2)
