@@ -46,6 +46,31 @@ STOP_THRESH = 1e-4   # early-termination transmittance (gaussian.cu:906)
 DET_EPS = 1e-14      # gaussian.cu:920
 ALPHA_EPS = 1e-7     # backward 1/(1-alpha) guard (gaussian.cu:721)
 
+# Per-chunk metadata rides the scalar-prefetch SMEM as ONE s32 per chunk
+# (tile id, first/last flags, valid length share a word).  Four separate
+# s32[NC] arrays overflow the 1 MiB SMEM at NC=65536 (4 x 256 KiB); packed,
+# the same grid costs 256 KiB and the ceiling moves to NC=262144.
+_META_CLEN_BITS = 11                     # valid len <= 2047 (chunk_size cap)
+_META_CLEN_MASK = (1 << _META_CLEN_BITS) - 1
+_META_FIRST = 1 << _META_CLEN_BITS       # first chunk of its tile
+_META_LAST = 1 << (_META_CLEN_BITS + 1)  # last chunk of its tile
+_META_TILE_SHIFT = _META_CLEN_BITS + 2   # tile id in bits 13..30 (<= 262143)
+
+
+def _pack_chunk_meta(spec: "RasterSpec", chunk_tile, chunk_first, chunk_last,
+                     chunk_len):
+    """Pack (tile, first, last, len) into one s32 per chunk for SMEM."""
+    assert spec.chunk_size <= _META_CLEN_MASK, \
+        f"chunk_size {spec.chunk_size} exceeds the {_META_CLEN_MASK} packed-meta cap"
+    assert spec.n_tiles + 1 <= (1 << (31 - _META_TILE_SHIFT)), \
+        f"tile grid {spec.n_tiles} exceeds the packed-meta tile-id range"
+    return (
+        (chunk_tile.astype(jnp.int32) << _META_TILE_SHIFT)
+        | jnp.where(chunk_first, _META_FIRST, 0)
+        | jnp.where(chunk_last, _META_LAST, 0)
+        | chunk_len.astype(jnp.int32)
+    )
+
 
 class RasterSpec(NamedTuple):
     """Static rasterizer geometry (compile-time constants)."""
@@ -383,13 +408,15 @@ def chw_to_hwc(img):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(spec: RasterSpec,
-                ct_ref, cf_ref, cl_ref, clen_ref, shv_ref,
+                meta_ref, shv_ref,
                 geom_ref, col_ref, out_ref,
                 accum_ref, color_ref, accw_ref, shb_ref):
     i = pl.program_id(0)
-    t = ct_ref[i]
-    first = cf_ref[i] != 0
-    last = cl_ref[i] != 0
+    meta = meta_ref[i]
+    t = meta >> _META_TILE_SHIFT
+    first = (meta & _META_FIRST) != 0
+    last = (meta & _META_LAST) != 0
+    clen = meta & _META_CLEN_MASK
     active = t < spec.n_tiles
 
     @pl.when(first)
@@ -421,7 +448,7 @@ def _fwd_kernel(spec: RasterSpec,
             pxc = pxc_full[:, h0:h0 + hw]
             pyc = pyc_full[:, h0:h0 + hw]
             alpha, _, _ = _chunk_alpha(spec, pxc, pyc, g)
-            alpha = jnp.where(gidx < clen_ref[i], alpha, 0.0)
+            alpha = jnp.where(gidx < clen, alpha, 0.0)
             one_m = 1.0 - alpha
             trans = _cumprod_excl_sublanes(one_m) * accum_ref[0:1, h0:h0 + hw]
             live = trans >= STOP_THRESH
@@ -465,13 +492,15 @@ def _fwd_kernel(spec: RasterSpec,
 
 
 def _bwd_kernel(spec: RasterSpec,
-                ct_ref, cf_ref, cl_ref, clen_ref, shv_ref,
+                meta_ref, shv_ref,
                 geom_ref, col_ref, out_img_ref, grad_img_ref,
                 grad_geom_ref, grad_col_ref,
                 accum_ref, ccarry_ref, shb_ref):
     i = pl.program_id(0)
-    t = ct_ref[i]
-    first = cf_ref[i] != 0
+    meta = meta_ref[i]
+    t = meta >> _META_TILE_SHIFT
+    first = (meta & _META_FIRST) != 0
+    clen = meta & _META_CLEN_MASK
     active = t < spec.n_tiles
     g_dim = spec.chunk_size
 
@@ -497,7 +526,7 @@ def _bwd_kernel(spec: RasterSpec,
         gc_in = col_ref[:].T if (spec.channel_major
                                  and not spec.color_row_major) else col_ref[:]
         gidx = jax.lax.broadcasted_iota(jnp.int32, (spec.chunk_size, 1), 0)
-        slot_ok = gidx < clen_ref[i]
+        slot_ok = gidx < clen
         nsplit = max(int(spec.px_split), 1)
         assert spec.px % nsplit == 0, \
             (f"px_split={nsplit} must divide the tile pixel "
@@ -654,11 +683,12 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
                          lambda i, *_: (i, 0)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=2,
         grid=(nc,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
+            pl.BlockSpec((1, 8, spec.px),
+                         lambda i, m, *_: (m[i] >> _META_TILE_SHIFT, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, spec.px), jnp.float32),   # accum
@@ -670,13 +700,14 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
     out_shape = [
         jax.ShapeDtypeStruct((n_rows, 8, spec.px), jnp.float32),
     ]
+    meta = _pack_chunk_meta(spec, chunk_tile, chunk_first, chunk_last,
+                            chunk_len)
     [tiles] = pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(chunk_tile, chunk_first.astype(jnp.int32), chunk_last.astype(jnp.int32),
-      chunk_len, sh_vecs, geom, colarr)
+    )(meta, sh_vecs, geom, colarr)
     # rows 0-2 color, row 3 accumulated weight
     return tiles, tiles[:, 3, :]
 
@@ -704,11 +735,13 @@ def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
                          lambda i, *_: (i, 0)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=2,
         grid=(nc,),
         in_specs=pk_specs + [
-            pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
-            pl.BlockSpec((1, 8, spec.px), lambda i, ct, *_: (ct[i], 0, 0)),
+            pl.BlockSpec((1, 8, spec.px),
+                         lambda i, m, *_: (m[i] >> _META_TILE_SHIFT, 0, 0)),
+            pl.BlockSpec((1, 8, spec.px),
+                         lambda i, m, *_: (m[i] >> _META_TILE_SHIFT, 0, 0)),
         ],
         out_specs=list(pk_specs),
         scratch_shapes=[
@@ -717,14 +750,15 @@ def _raster_bwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
             pltpu.VMEM((9, spec.px), jnp.float32),   # per-tile SH basis
         ],
     )
+    meta = _pack_chunk_meta(spec, chunk_tile, chunk_first, chunk_last,
+                            chunk_len)
     grad_geom, grad_col = pl.pallas_call(
         functools.partial(_bwd_kernel, spec),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(geom.shape, jnp.float32),
                    jax.ShapeDtypeStruct(colarr.shape, jnp.float32)],
         interpret=interpret,
-    )(chunk_tile, chunk_first.astype(jnp.int32), chunk_last.astype(jnp.int32),
-      chunk_len, sh_vecs, geom, colarr, out_tiles, grad_tiles)
+    )(meta, sh_vecs, geom, colarr, out_tiles, grad_tiles)
     return grad_geom, grad_col
 
 
