@@ -139,6 +139,19 @@ def main():
         if i_iter - last_save[0] >= 200:
             trainer.save_full(full_path, i_iter)  # crash-resumable
             last_save[0] = i_iter
+            # partial summary: a wall-clock-killed run still reports how far
+            # it got (the final summary.json overwrites the picture)
+            with open(os.path.join(args.exp, "summary_partial.json"),
+                      "w") as f:
+                json.dump({
+                    "iters_done": i_iter, "wall_s": time.time() - t0,
+                    "it_per_s_incl_compiles": (i_iter - start)
+                    / max(time.time() - t0, 1e-9),
+                    "n_gaussians": int(trainer.splat.table.n_live),
+                    "capacity_trajectory": cap_traj,
+                    "use_sh_coeff": args.use_sh_coeff,
+                    "scene_preset": args.preset,
+                }, f, indent=1)
 
     trainer._post_step = post_save
 
