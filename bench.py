@@ -388,6 +388,19 @@ def main():
 
     result = {"metric": "bench", "value": -1.0, "unit": "it/s",
               "vs_baseline": 0.0, "phase_done": "none"}
+
+    # `timeout`-killed benches must still emit their JSON line (memory/
+    # round-4 post-mortem: SIGTERM bypassed the exception path and the
+    # round lost the artifact).  Raising from the handler routes the kill
+    # through the same BaseException path below.  While the interpreter is
+    # inside a long XLA call the signal is deferred to the next bytecode,
+    # so pair `timeout` with `-k <grace>` for a hard floor.
+    import signal
+
+    def _on_term(signum, frame):
+        raise TimeoutError(f"signal {signum} (timeout kill)")
+
+    signal.signal(signal.SIGTERM, _on_term)
     try:
         run_bench(args, result)
     except BaseException as e:  # noqa: BLE001 — always emit the JSON line
