@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Tunnel health probe — run BEFORE committing to host-interactive TPU work.
+
+Remote-attached TPU sessions vary ~14x in host<->device bandwidth (round 5:
+the same 183 MB scene push took 293 s that round 3 did in 21 s).  Training
+runs are host-boundary-dominated (per-window metrics/checkpoint/eval
+round-trips), so on a slow tunnel a 7k run's wall-clock measures the tunnel,
+not the device — while scan-slope benches stay valid.  This prints a push
+bandwidth + dispatch round-trip estimate and a go/no-go hint.
+
+Usage:  python scripts/probe_tunnel.py  [--mb 16]
+"""
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=16)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+
+    # dispatch round-trip: tiny jit + host scalar fetch, fresh input each
+    # call (identical dispatches can be served from a result cache)
+    f = jax.jit(lambda a: jnp.sum(a * 2.0))
+    float(f(jnp.arange(128.0)))  # compile
+    t0 = time.time()
+    n_rt = 10
+    for i in range(n_rt):
+        float(f(jnp.arange(128.0) + i))
+    rt_ms = (time.time() - t0) / n_rt * 1e3
+    print(f"dispatch+fetch round-trip: {rt_ms:.0f} ms")
+
+    # push bandwidth: one uint8 array, verified on device by a host fetch
+    a = np.random.randint(0, 255, (args.mb, 1024, 1024), np.uint8)
+    t0 = time.time()
+    d = jnp.asarray(a)
+    float(jnp.sum(d[:, :2, :2].astype(jnp.float32)))
+    dt = time.time() - t0
+    bw = args.mb / max(dt, 1e-9)
+    print(f"push {args.mb} MB: {dt:.2f} s  ({bw:.1f} MB/s)")
+
+    if bw < 3 or rt_ms > 100:
+        print("SLOW TUNNEL: prefer scan-slope benches; defer "
+              "host-interactive training runs (see PERF.md round 5)")
+    else:
+        print("tunnel healthy: long training runs OK")
+
+
+if __name__ == "__main__":
+    main()
