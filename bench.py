@@ -398,6 +398,11 @@ def main():
     import signal
 
     def _on_term(signum, frame):
+        # One-shot: restore the default disposition so a second SIGTERM
+        # (timeout -k escalation / supervisor re-signal) can't re-enter
+        # during the except block or the final json print and lose the
+        # artifact this handler exists to preserve.
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
         raise TimeoutError(f"signal {signum} (timeout kill)")
 
     signal.signal(signal.SIGTERM, _on_term)

@@ -60,10 +60,15 @@ _META_TILE_SHIFT = _META_CLEN_BITS + 2   # tile id in bits 13..30 (<= 262143)
 def _pack_chunk_meta(spec: "RasterSpec", chunk_tile, chunk_first, chunk_last,
                      chunk_len):
     """Pack (tile, first, last, len) into one s32 per chunk for SMEM."""
-    assert spec.chunk_size <= _META_CLEN_MASK, \
-        f"chunk_size {spec.chunk_size} exceeds the {_META_CLEN_MASK} packed-meta cap"
-    assert spec.n_tiles + 1 <= (1 << (31 - _META_TILE_SHIFT)), \
-        f"tile grid {spec.n_tiles} exceeds the packed-meta tile-id range"
+    # ValueError (not assert): these static bounds guard against silent
+    # bit-field corruption and must survive `python -O`.
+    if spec.chunk_size > _META_CLEN_MASK:
+        raise ValueError(
+            f"chunk_size {spec.chunk_size} exceeds the {_META_CLEN_MASK} "
+            f"packed-meta cap")
+    if spec.n_tiles + 1 > (1 << (31 - _META_TILE_SHIFT)):
+        raise ValueError(
+            f"tile grid {spec.n_tiles} exceeds the packed-meta tile-id range")
     return (
         (chunk_tile.astype(jnp.int32) << _META_TILE_SHIFT)
         | jnp.where(chunk_first, _META_FIRST, 0)

@@ -10,6 +10,8 @@ cd "$(dirname "$0")/.."
 LOG=runs/r4_pipeline.log
 mkdir -p runs
 stamp() { echo "=== $(date +%H:%M:%S) $* ===" | tee -a "$LOG"; }
+# Promote the .tmp capture unconditionally (bench.py emits JSON on SIGTERM).
+promote() { [ -s "$1.tmp" ] && tail -1 "$1.tmp" > "$1"; rm -f "$1.tmp"; }
 
 stamp "garden_hard scene generation (1.2M SH GT + noise; packed-meta fix)"
 timeout 900 python - >> "$LOG" 2>&1 <<'EOF'
@@ -29,20 +31,17 @@ timeout 1560 python scripts/run_garden_7k.py --exp runs/7k_hard_r4 \
     --metrics_every 100 >> "$LOG" 2>&1
 
 stamp "official bench (SH)"
-timeout 1200 python bench.py --use_sh_coeff 1 > runs/bench_r4_sh.json.tmp 2>> "$LOG" \
-    && tail -1 runs/bench_r4_sh.json.tmp > runs/bench_r4_sh.json \
-    && rm -f runs/bench_r4_sh.json.tmp
+timeout 1200 python bench.py --use_sh_coeff 1 > runs/bench_r4_sh.json.tmp 2>> "$LOG"
+promote runs/bench_r4_sh.json
 
 stamp "2.4M render bench (RGB, reference quality-config scale)"
 timeout 900 python bench.py --phase render --n_gauss 2400000 \
-    > runs/bench_r4_2m4_rgb.json.tmp 2>> "$LOG" \
-    && tail -1 runs/bench_r4_2m4_rgb.json.tmp > runs/bench_r4_2m4_rgb.json \
-    && rm -f runs/bench_r4_2m4_rgb.json.tmp
+    > runs/bench_r4_2m4_rgb.json.tmp 2>> "$LOG"
+promote runs/bench_r4_2m4_rgb.json
 
 stamp "2.4M render bench (SH)"
 timeout 900 python bench.py --phase render --n_gauss 2400000 \
-    --use_sh_coeff 1 > runs/bench_r4_2m4_sh.json.tmp 2>> "$LOG" \
-    && tail -1 runs/bench_r4_2m4_sh.json.tmp > runs/bench_r4_2m4_sh.json \
-    && rm -f runs/bench_r4_2m4_sh.json.tmp
+    --use_sh_coeff 1 > runs/bench_r4_2m4_sh.json.tmp 2>> "$LOG"
+promote runs/bench_r4_2m4_sh.json
 
 stamp "pipeline done"

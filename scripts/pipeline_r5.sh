@@ -4,15 +4,20 @@
 # compile of the densifying train step blocks ~5-10 min with near-zero
 # client CPU — it is NOT hung), then the cheap render parity points, then
 # the full SH bench, then the SH 7k run if wall remains.  One TPU job at a
-# time (single-tenant tunnel).  A timeout-killed bench leaves NO artifact
-# (the JSON prints at the end), so every stage gets a margin above its
-# observed cost; the 7k run is crash-resumable (full_state.npz + --resume)
-# and writes summary_partial.json every ~200 iters.
+# time (single-tenant tunnel).  bench.py emits its JSON line even on a
+# SIGTERM kill (timeout), so .tmp artifacts are promoted UNCONDITIONALLY —
+# a timeout-killed stage still yields its partial JSON; every stage still
+# gets a margin above its observed cost.  The 7k run is crash-resumable
+# (full_state.npz + --resume) and writes summary_partial.json every ~200
+# iters.
 set -u
 cd "$(dirname "$0")/.."
 LOG=runs/r5_pipeline.log
 mkdir -p runs
 stamp() { echo "=== $(date +%H:%M:%S) $* ===" | tee -a "$LOG"; }
+# Promote the last JSON line of a .tmp bench capture to the final artifact
+# regardless of the stage's exit code (124 = timeout kill included).
+promote() { [ -s "$1.tmp" ] && tail -1 "$1.tmp" > "$1"; rm -f "$1.tmp"; }
 
 stamp "garden_hard scene (cached in /tmp from round 4 if same machine)"
 timeout 900 python - >> "$LOG" 2>&1 <<'EOF'
@@ -33,20 +38,17 @@ timeout 3000 python scripts/run_garden_7k.py --exp runs/7k_hard_r5 \
 
 stamp "2.4M render bench (RGB; budgets tune to n_pairs=4.76M NC=45294)"
 timeout 1200 python bench.py --phase render --n_gauss 2400000 \
-    > runs/bench_r5_2m4_rgb.json.tmp 2>> "$LOG" \
-    && tail -1 runs/bench_r5_2m4_rgb.json.tmp > runs/bench_r5_2m4_rgb.json \
-    && rm -f runs/bench_r5_2m4_rgb.json.tmp
+    > runs/bench_r5_2m4_rgb.json.tmp 2>> "$LOG"
+promote runs/bench_r5_2m4_rgb.json
 
 stamp "official bench (SH, all phases — the SH train it/s number)"
-timeout 1800 python bench.py --use_sh_coeff 1 > runs/bench_r5_sh.json.tmp 2>> "$LOG" \
-    && tail -1 runs/bench_r5_sh.json.tmp > runs/bench_r5_sh.json \
-    && rm -f runs/bench_r5_sh.json.tmp
+timeout 1800 python bench.py --use_sh_coeff 1 > runs/bench_r5_sh.json.tmp 2>> "$LOG"
+promote runs/bench_r5_sh.json
 
 stamp "2.4M render bench (SH)"
 timeout 1200 python bench.py --phase render --n_gauss 2400000 \
-    --use_sh_coeff 1 > runs/bench_r5_2m4_sh.json.tmp 2>> "$LOG" \
-    && tail -1 runs/bench_r5_2m4_sh.json.tmp > runs/bench_r5_2m4_sh.json \
-    && rm -f runs/bench_r5_2m4_sh.json.tmp
+    --use_sh_coeff 1 > runs/bench_r5_2m4_sh.json.tmp 2>> "$LOG"
+promote runs/bench_r5_2m4_sh.json
 
 stamp "7k quality run (SH, garden_hard)"
 timeout 5400 python scripts/run_garden_7k.py --exp runs/7k_hard_sh_r5 \

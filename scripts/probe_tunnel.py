@@ -38,7 +38,12 @@ def main():
     rt_ms = (time.time() - t0) / n_rt * 1e3
     print(f"dispatch+fetch round-trip: {rt_ms:.0f} ms")
 
-    # push bandwidth: one uint8 array, verified on device by a host fetch
+    # push bandwidth: one uint8 array, verified on device by a host fetch.
+    # Warm up the fetch expression first on a tiny same-rank/dtype array —
+    # on remote-attached sessions a first compile can stall minutes and
+    # would otherwise be billed to the push, flipping the go/no-go hint.
+    warm = jnp.asarray(np.zeros((1, 4, 4), np.uint8))
+    float(jnp.sum(warm[:, :2, :2].astype(jnp.float32)))
     a = np.random.randint(0, 255, (args.mb, 1024, 1024), np.uint8)
     t0 = time.time()
     d = jnp.asarray(a)
