@@ -15,17 +15,20 @@ import argparse
 import time
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=16)
-    args = ap.parse_args()
+def probe(mb=16, verbose=True):
+    """Measure tunnel health; returns {"rt_ms", "push_mb_s", "slow"}.
 
+    Importable so long-running drivers (scripts/run_garden_7k.py) can scale
+    their save/eval cadence to the measured host boundary instead of paying
+    a fixed 10.8 MB save every 200 iters on a 14x-degraded session.
+    """
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
-    print(f"device: {dev}")
+    if verbose:
+        print(f"device: {dev}")
 
     # dispatch round-trip: tiny jit + host scalar fetch, fresh input each
     # call (identical dispatches can be served from a result cache)
@@ -36,7 +39,8 @@ def main():
     for i in range(n_rt):
         float(f(jnp.arange(128.0) + i))
     rt_ms = (time.time() - t0) / n_rt * 1e3
-    print(f"dispatch+fetch round-trip: {rt_ms:.0f} ms")
+    if verbose:
+        print(f"dispatch+fetch round-trip: {rt_ms:.0f} ms")
 
     # push bandwidth: one uint8 array, verified on device by a host fetch.
     # Warm up the fetch expression first on a tiny same-rank/dtype array —
@@ -44,19 +48,30 @@ def main():
     # would otherwise be billed to the push, flipping the go/no-go hint.
     warm = jnp.asarray(np.zeros((1, 4, 4), np.uint8))
     float(jnp.sum(warm[:, :2, :2].astype(jnp.float32)))
-    a = np.random.randint(0, 255, (args.mb, 1024, 1024), np.uint8)
+    a = np.random.randint(0, 255, (mb, 1024, 1024), np.uint8)
     t0 = time.time()
     d = jnp.asarray(a)
     float(jnp.sum(d[:, :2, :2].astype(jnp.float32)))
     dt = time.time() - t0
-    bw = args.mb / max(dt, 1e-9)
-    print(f"push {args.mb} MB: {dt:.2f} s  ({bw:.1f} MB/s)")
+    bw = mb / max(dt, 1e-9)
+    if verbose:
+        print(f"push {mb} MB: {dt:.2f} s  ({bw:.1f} MB/s)")
 
-    if bw < 3 or rt_ms > 100:
-        print("SLOW TUNNEL: prefer scan-slope benches; defer "
-              "host-interactive training runs (see PERF.md round 5)")
-    else:
-        print("tunnel healthy: long training runs OK")
+    slow = bw < 3 or rt_ms > 100
+    if verbose:
+        if slow:
+            print("SLOW TUNNEL: prefer scan-slope benches; defer "
+                  "host-interactive training runs (see PERF.md round 5)")
+        else:
+            print("tunnel healthy: long training runs OK")
+    return {"rt_ms": rt_ms, "push_mb_s": bw, "slow": slow}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=16)
+    args = ap.parse_args()
+    probe(mb=args.mb)
 
 
 if __name__ == "__main__":

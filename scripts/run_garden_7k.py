@@ -46,6 +46,14 @@ def main():
     ap.add_argument("--gather_geom", type=int, default=-1)
     ap.add_argument("--cull_sublsb", type=int, default=-1)
     ap.add_argument("--metrics_every", type=int, default=50)
+    ap.add_argument("--save_every", type=int, default=200,
+                    help="full-state checkpoint cadence (iters)")
+    ap.add_argument("--adaptive", type=int, default=1,
+                    help="probe tunnel health at startup and stretch the "
+                         "save/metrics cadence on a degraded session (the "
+                         "10.8 MB save + metrics fetch are pure host "
+                         "boundary; round-4's 14x-slow tunnel turned a "
+                         "12 it/s device loop into 0.45 it/s wall)")
     ap.add_argument("--resume", type=int, default=1,
                     help="resume from {exp}/full_state.npz when present")
     args = ap.parse_args()
@@ -56,6 +64,18 @@ def main():
 
     from gsplat_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    if args.adaptive:
+        from probe_tunnel import probe
+        health = probe(mb=8)
+        if health["slow"]:
+            # degraded tunnel: every host round-trip costs seconds, so
+            # stretch the fixed cadences (run stays resumable, just with
+            # coarser checkpoints) instead of parking the run
+            args.save_every = max(args.save_every, 1000)
+            args.metrics_every = max(args.metrics_every, 200)
+            print(f"slow tunnel: save_every={args.save_every} "
+                  f"metrics_every={args.metrics_every}")
 
     if not os.path.exists(os.path.join(args.scene, "sparse", "0",
                                        "points3D.bin")):
@@ -136,7 +156,7 @@ def main():
         # need not land on 200-multiples — the modulo form never saved
         # before iter 400
         orig_post(i_iter)
-        if i_iter - last_save[0] >= 200:
+        if i_iter - last_save[0] >= args.save_every:
             trainer.save_full(full_path, i_iter)  # crash-resumable
             last_save[0] = i_iter
             # partial summary: a wall-clock-killed run still reports how far
