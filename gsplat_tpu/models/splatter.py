@@ -35,8 +35,8 @@ from gsplat_tpu.ops.binning import (BinningSpec, bin_gaussians, pack_pairs,
                                     pack_sorted)
 from gsplat_tpu.ops.projection import project_gaussians
 from gsplat_tpu.ops.rasterize import RasterSpec, rasterize
-from gsplat_tpu.utils.colmap import read_cameras_binary, read_images_binary, \
-    read_points3d_arrays
+from gsplat_tpu.utils.colmap import camera_focals, read_cameras_binary, \
+    read_images_binary, read_points3d_arrays
 from gsplat_tpu.utils.so3 import quat_to_rotmat_np
 
 
@@ -87,8 +87,11 @@ def load_scene_camera_groups(colmap_path, image_path, render_downsample,
         cam = cameras[info.camera_id]
         w = int(cam.width / render_downsample)
         h = int(cam.height / render_downsample)
-        fx = cam.params[0] / render_downsample
-        fy = cam.params[1] / render_downsample
+        # per-model focal extraction (the reference assumes params[0:2] are
+        # fx,fy for every model, splatter.py:499-500 — wrong for SIMPLE_*)
+        fx, fy = camera_focals(cam)
+        fx /= render_downsample
+        fy /= render_downsample
         im = None
         if load_images:
             im = cv2.cvtColor(cv2.imread(fn), cv2.COLOR_BGR2RGB)

@@ -80,6 +80,23 @@ CAMERA_MODELS = [
 CAMERA_MODEL_IDS = {m.model_id: m for m in CAMERA_MODELS}
 CAMERA_MODEL_NAMES = {m.model_name: m for m in CAMERA_MODELS}
 
+# Camera models whose params start with a SINGLE focal (f, cx, cy, ...):
+# fx = fy = params[0].  All remaining models lead with (fx, fy, ...).
+# The reference reads params[0]/params[1] as fx/fy unconditionally
+# (splatter.py:499-500), which silently treats a SIMPLE_RADIAL's cx as fy;
+# we extract per-model instead.
+_SINGLE_FOCAL_MODELS = frozenset({
+    "SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL", "FOV",
+    "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE",
+})
+
+
+def camera_focals(cam: Camera) -> tuple:
+    """(fx, fy) in pixels for any COLMAP camera model."""
+    if cam.model in _SINGLE_FOCAL_MODELS:
+        return float(cam.params[0]), float(cam.params[0])
+    return float(cam.params[0]), float(cam.params[1])
+
 
 def read_cameras_binary(path: _PathT) -> Dict[int, Camera]:
     buf = Path(path).read_bytes()
