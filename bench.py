@@ -96,7 +96,8 @@ def run_bench(args, result):
                       gather_geom=int(args.gather_geom),
                       quant_depth=int(args.quant_depth),
                       bf16_pack=int(args.bf16_pack),
-                      cull_sublsb=int(args.cull_sublsb))
+                      cull_sublsb=int(args.cull_sublsb),
+                      pad_rows=int(args.pad_rows))
     if args.chunk_size:
         cfg.chunk_size = int(args.chunk_size)
     if args.px_split:
@@ -357,6 +358,10 @@ def main():
                     help="bf16-paired payload-sort operands for both "
                          "directions (-1 auto: on when compatible; 0/1 "
                          "force — 0 benches the all-f32 round-3 route)")
+    ap.add_argument("--pad_rows", type=int, default=-1,
+                    help="shared alignment-pad pool for the payload sort: "
+                         "-1 full T*(G-1) reservation, 0 auto-tune from one "
+                         "observed view, >0 explicit row cap")
     ap.add_argument("--cull_sublsb", type=int, default=-1,
                     help="sub-LSB pair cull (exact quadratic-over-box "
                          "test; -1 auto: off; 0/1 force)")

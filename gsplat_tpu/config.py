@@ -94,6 +94,14 @@ class SplatConfig:
     # static per-column row caps for colcap (None = start at visible_rows
     # per column and let the trainer retune from observed column fills)
     col_caps: Optional[tuple] = None
+    # Shared alignment-pad pool for the payload sort (ops/binning pad_rows):
+    # -1 reserves the T*(G-1) worst case (always correct); >= 0 caps the
+    # static pad block at this many rows — the observed need is ~0.12x the
+    # worst case at Garden scale, and every payload-sort operand carries the
+    # reservation.  Overflow is fail-safe (tiles past the break render zero,
+    # n_pad_dropped reported) and the trainer retunes it like every other
+    # static budget.
+    pad_rows: int = -1
     # Sub-tile early termination: lane-axis split count for the forward
     # kernel's saturation gate (1 = whole-tile gate, 2 = independent
     # 128-lane halves — the CUDA per-pixel break at half-tile granularity)

@@ -207,6 +207,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         plane_mode=getattr(cfg, "plane_mode", "dense"),
         col_caps=_norm_col_caps(getattr(cfg, "col_caps", None),
                                 cfg.max_tiles_per_gaussian),
+        pad_rows=int(getattr(cfg, "pad_rows", -1)),
         packed_bf16=bool(getattr(cfg, "packed_bf16", False)),
         quant_depth=quant_depth,
         bf16_pack=bf16_pack,
@@ -296,6 +297,12 @@ def render_padded(params: dict, live, w2c_rot, w2c_tran, sh_vecs,
         "n_slots_used": (binned.n_chunks_used * bspec.chunk_size
                          if binned.n_chunks_used is not None
                          else binned.n_pairs),
+        "n_pad_used": (binned.n_pad_used
+                       if getattr(binned, "n_pad_used", None) is not None
+                       else jnp.zeros((), jnp.int32)),
+        "n_pad_dropped": (binned.n_pad_dropped
+                          if getattr(binned, "n_pad_dropped", None)
+                          is not None else jnp.zeros((), jnp.int32)),
     }
     return img, aux
 
@@ -444,6 +451,22 @@ class Splatter:
         if changed:
             self.cfg.col_caps = tuple(new)
         return changed
+
+    def retune_pad_rows(self, n_pad_used: int, growth: float = 1.0) -> bool:
+        """Resize the shared alignment-pad pool toward the observed need.
+
+        No-op while the pool is off (cfg.pad_rows < 0, the always-correct
+        worst-case reservation); once a caller opts in, overflow/shrink
+        follow the same ladder hysteresis as the other static budgets."""
+        if int(getattr(self.cfg, "pad_rows", -1)) < 0:
+            return False
+        cur = int(self.cfg.pad_rows)
+        gsq = max(growth, 1.0) ** 2
+        target = self._ladder(max(n_pad_used, 1) * 1.35 * gsq)
+        if (cur < n_pad_used * 1.1 or cur > target * 2.9) and target != cur:
+            self.cfg.pad_rows = target
+            return True
+        return False
 
     def retune_visible_rows(self, n_visible: int, growth: float = 1.0
                             ) -> bool:

@@ -153,6 +153,18 @@ class BinningSpec(NamedTuple):
     # post-opacity-reset gaussians carry many dead pairs — and pair count is
     # THE cost driver (sorts, chunk grid, kernel time all scale with it).
     cull_sublsb: bool = False
+    # Shared alignment-pad pool (colcap only, -1 = off): the payload sort's
+    # static shape reserves T·(G−1) pad rows — the worst case of every tile
+    # needing G−1 pads — but the pads actually used are Σ(−count_t mod G)
+    # (~0.12·P at Garden scale vs the 0.45·P reservation).  With pad_rows
+    # ≥ 0 the pads are generated into ONE shared pool of that static size
+    # (per-tile assignment via a cumsum + searchsorted at pool scale), so
+    # every payload-sort operand drops the dead reservation.  Overflow is
+    # fail-safe: alignment breaks CASCADE (every tile after the first
+    # short-padded one shifts), so all tiles from the break point render
+    # zero via tile_ok, and ``n_pad_dropped``/``n_pad_used`` feed the
+    # trainer's budget retunes like every other static budget.
+    pad_rows: int = -1
 
     @property
     def n_tiles(self) -> int:
@@ -451,6 +463,8 @@ class PackedMeta(NamedTuple):
     col_fill: jnp.ndarray = None          # (K,) i32
     n_plane_clipped: jnp.ndarray = None   # ()
     n_chunks_used: jnp.ndarray = None     # () nc_used (slot retune signal)
+    n_pad_used: jnp.ndarray = None        # () alignment pads needed
+    n_pad_dropped: jnp.ndarray = None     # () pads past the pad_rows pool
 
 
 def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
@@ -698,7 +712,10 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     P = sum(caps)
     NC, S = spec.num_chunks, spec.num_slots
     padw = max(G - 1, 1)
-    p_tot = P + T * padw
+    full_pad = T * padw
+    pool = full_pad if spec.pad_rows < 0 else min(int(spec.pad_rows),
+                                                  full_pad)
+    p_tot = P + pool
     L = max(p_tot, S)
     c_cols = color_n.shape[1]
     rb, shift = _rank_bits_shift(T, V)
@@ -1049,15 +1066,42 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         chunk_p = chunk_cum[t_p] + pos_t // G
         slot_pos = jnp.where((t_p < T) & (chunk_p < NC),
                              G * chunk_cum[t_p] + pos_t, S)
+        n_pad_used = jnp.zeros((), jnp.int32)     # no pad rows on this route
+        n_pad_dropped = jnp.zeros((), jnp.int32)
     else:
         slot_pos = None
         # ---- alignment pads: (-count % G) rows per non-empty tile -------
         pad_t = jnp.where(counts > 0, (-counts) % G, 0)
-        jj = jnp.arange(padw, dtype=jnp.int32)[None, :]
-        tid = jnp.arange(T, dtype=jnp.int32)[:, None]
-        pad_keys = jnp.where(jj < pad_t[:, None],
-                             jnp.left_shift(tid, rb) | pad_rank,
-                             sent).reshape(T * padw)
+        if pool < full_pad:
+            # shared pool: pad slot j belongs to the tile whose cumulative
+            # pad count first exceeds j (one searchsorted at pool scale)
+            cum_pad = jnp.cumsum(pad_t).astype(jnp.int32)        # (T,)
+            n_pad_used = cum_pad[-1]
+            jp = jax.lax.iota(jnp.int32, pool)
+            t_of_pad = jnp.searchsorted(
+                cum_pad, jp, side="right").astype(jnp.int32)
+            pad_keys = jnp.where(
+                jp < jnp.minimum(n_pad_used, pool),
+                jnp.left_shift(jnp.clip(t_of_pad, 0, T - 1), rb) | pad_rank,
+                sent)
+            n_pad_dropped = jnp.maximum(n_pad_used - pool, 0)
+            # a short-padded tile shifts EVERY later tile's chunk base:
+            # zero them all (fail-safe, reported, retuned by the trainer)
+            first_bad = jnp.where(
+                n_pad_dropped > 0,
+                jnp.searchsorted(cum_pad, jnp.int32(pool),
+                                 side="right").astype(jnp.int32), T)
+            ok_t = jax.lax.iota(jnp.int32, T) < first_bad
+            tile_ok = tile_ok & jnp.concatenate(
+                [ok_t, jnp.ones((1,), jnp.bool_)])
+        else:
+            n_pad_used = jnp.sum(pad_t)
+            n_pad_dropped = jnp.zeros((), jnp.int32)
+            jj = jnp.arange(padw, dtype=jnp.int32)[None, :]
+            tid = jnp.arange(T, dtype=jnp.int32)[:, None]
+            pad_keys = jnp.where(jj < pad_t[:, None],
+                                 jnp.left_shift(tid, rb) | pad_rank,
+                                 sent).reshape(full_pad)
 
         # ---- the payload sort: channels ride the sort -------------------
         # (sort cost is per-OPERAND on TPU; the render-only packed_bf16
@@ -1065,7 +1109,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         # backward is NotImplemented anyway)
         def with_pad(parts):
             return jnp.concatenate(
-                parts + [jnp.zeros((T * padw,), parts[0].dtype)])
+                parts + [jnp.zeros((pool,), parts[0].dtype)])
 
         key_full = jnp.concatenate([pair_key, pad_keys])
         if spec.packed_bf16:
@@ -1074,7 +1118,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         else:
             flat_full = jnp.concatenate(
                 [jnp.concatenate(flat_parts),
-                 jnp.full((T * padw,), P, jnp.int32)])
+                 jnp.full((pool,), P, jnp.int32)])
             ops = (key_full, flat_full) + tuple(
                 with_pad(p) for p in chan_parts)
             base = 2
@@ -1163,6 +1207,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         n_vis_dropped=n_vis_dropped,
         col_fill=m, n_plane_clipped=n_plane_clipped,
         n_chunks_used=nc_used,
+        n_pad_used=n_pad_used, n_pad_dropped=n_pad_dropped,
     )
     return (geom_pk, colors_pk), meta, (sorted_flat, inv_comp, slot_pos)
 

@@ -170,6 +170,12 @@ def tune_budgets(cfg, table, cams, grid, bspec):
             min(max((int(f) * 23 // 20 // 4096 + 1) * 4096, 4096),
                 cfg.visible_rows) for f in fills)
 
+    # pad_rows auto marker (0): observe the pad need at the FULL reservation
+    # first, then cap the pool; -1 and explicit values pass through
+    tune_pad = int(getattr(cfg, "pad_rows", -1)) == 0
+    if tune_pad:
+        cfg.pad_rows = -1
+
     if getattr(cfg, "fused_pack", True) and cfg.plane_mode == "colcap":
         # phase 2: ONE real pack at the estimated spec.  Observed nc_used
         # prices in everything the bbox estimate can't see — the sub-LSB
@@ -199,9 +205,15 @@ def tune_budgets(cfg, table, cams, grid, bspec):
                       else jax.nn.sigmoid(params["rgb"]))
             _, meta = pack_sorted(bspec2, geom_n, colors, proj.depth,
                                   proj.visible & live)
-            return meta.n_chunks_used, meta.n_pairs
+            return meta.n_chunks_used, meta.n_pairs, meta.n_pad_used
 
-        ncu, n_pairs = jax.device_get(
+        ncu, n_pairs, n_pad = jax.device_get(
             observe_pack(table.params(), table.live, rot0, tran0))
         cfg.pair_capacity = max(int(ncu) * g * 115 // 100, 4096)
+        if tune_pad:
+            # 1.35 margin over one view's observed alignment pads, 4096
+            # rounding — overflow degrades fail-safe (tiles past the break
+            # render zero + reported) exactly like the other budgets
+            cfg.pad_rows = max(
+                (int(n_pad) * 135 // 100 // 4096 + 1) * 4096, 4096)
     return int(n_vis), int(n_pairs), [int(f) for f in fills]

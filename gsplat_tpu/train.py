@@ -146,6 +146,8 @@ def make_train_step(splat: Splatter, tcfg: TrainConfig, interpret=False,
                        col_fill=aux["col_fill"],
                        n_plane_clipped=aux["n_plane_clipped"],
                        n_slots_used=aux["n_slots_used"],
+                       n_pad_used=aux["n_pad_used"],
+                       n_pad_dropped=aux["n_pad_dropped"],
                        grad_mean={k: jnp.mean(jnp.abs(grads[k]))
                                   for k in GROUP_ORDER})
         return TrainState(new_params, st.live, new_opt, accum, counter), metrics
@@ -181,7 +183,8 @@ def window_scan(loss_fn, tcfg: TrainConfig, cams, st: TrainState,
                                          "n_max_tiles", "n_visible",
                                          "n_vis_dropped", "n_dropped",
                                          "col_fill", "n_plane_clipped",
-                                         "n_slots_used")})
+                                         "n_slots_used", "n_pad_used",
+                                         "n_pad_dropped")})
         new_params, new_opt = adam_update(st.params, grads, st.opt, lrs,
                                           b1, b2, eps)
         pg = jnp.abs(grads["pos"])
@@ -199,7 +202,9 @@ def window_scan(loss_fn, tcfg: TrainConfig, cams, st: TrainState,
                        n_dropped=aux["n_dropped"],
                        col_fill=aux["col_fill"],
                        n_plane_clipped=aux["n_plane_clipped"],
-                       n_slots_used=aux["n_slots_used"])
+                       n_slots_used=aux["n_slots_used"],
+                       n_pad_used=aux["n_pad_used"],
+                       n_pad_dropped=aux["n_pad_dropped"])
         return (TrainState(new_params, st.live, new_opt, accum, counter),
                 metrics)
 
@@ -210,7 +215,7 @@ def window_scan(loss_fn, tcfg: TrainConfig, cams, st: TrainState,
     # step
     maxed = {"n_pairs", "n_clipped", "n_max_tiles", "n_visible",
              "n_vis_dropped", "n_dropped", "n_plane_clipped",
-             "col_fill", "n_slots_used"}
+             "col_fill", "n_slots_used", "n_pad_used", "n_pad_dropped"}
     out = {k: (jnp.max(v, axis=0) if k in maxed else
                jax.tree.map(lambda x: x[-1], v))
            for k, v in ms.items()}
@@ -595,6 +600,9 @@ class Trainer:
                 int(self._last_metrics["n_visible"]), growth) or retuned
             retuned = self.splat.retune_col_caps(
                 self._last_metrics["col_fill"], growth) or retuned
+            retuned = self.splat.retune_pad_rows(
+                int(self._last_metrics.get("n_pad_used", 0)),
+                growth) or retuned
             # candidate-plane width guard: grow K when the per-gaussian
             # tile cap clips a non-trivial fraction of pairs (quality)
             n_clip = int(self._last_metrics.get("n_clipped", 0))
@@ -794,13 +802,16 @@ class Trainer:
             # densify boundary
             if (int(m.get("n_dropped", 0)) > 0
                     or int(m.get("n_vis_dropped", 0)) > 0
-                    or int(m.get("n_plane_clipped", 0)) > 0):
+                    or int(m.get("n_plane_clipped", 0)) > 0
+                    or int(m.get("n_pad_dropped", 0)) > 0):
                 retuned = self.splat.retune_pair_capacity(
                     int(m.get("n_slots_used", m["n_pairs"])))
                 retuned = self.splat.retune_visible_rows(
                     int(m["n_visible"])) or retuned
                 retuned = self.splat.retune_col_caps(
                     m.get("col_fill", ())) or retuned
+                retuned = self.splat.retune_pad_rows(
+                    int(m.get("n_pad_used", 0))) or retuned
                 if retuned:
                     log(f"iter {j}: budget overflow "
                         f"(n_dropped={int(m['n_dropped'])} "
@@ -909,6 +920,10 @@ def build_argparser():
                         "the tile is sub-LSB (< 1/510), by an exact "
                         "conservative quadratic-over-box test (-1 auto: "
                         "off pending A/B; 0/1 force)")
+    p.add_argument("--pad_rows", type=int, default=-1,
+                   help="shared alignment-pad pool for the payload sort "
+                        "(-1 = T*(G-1) worst-case reservation; >= 0 caps "
+                        "the static pad block, retuned on overflow)")
     p.add_argument("--scale_reg", type=float, default=0.0)
     p.add_argument("--opa_reg", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=t.seed)
@@ -970,6 +985,7 @@ def configs_from_args(a) -> tuple[SplatConfig, TrainConfig]:
         quant_depth=a.quant_depth,
         bf16_pack=a.bf16_pack,
         cull_sublsb=a.cull_sublsb,
+        pad_rows=a.pad_rows,
         opa_init_value=a.opa_init_value,
         scale_init_value=a.scale_init_value,
         tile_culling_method=a.tile_culling_method,

@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--k_small", type=int, default=8)
     ap.add_argument("--k_big", type=int, default=40)
     ap.add_argument("--n_gauss", type=int, default=0)
+    ap.add_argument("--pad_rows", type=int, default=-1,
+                    help="-1 full pad reservation, 0 auto-tune, >0 explicit")
     args = ap.parse_args()
     use_sh = bool(args.use_sh_coeff)
 
@@ -64,7 +66,7 @@ def main():
         n_gauss = int(args.n_gauss)
 
     cfg = SplatConfig(use_pallas=True, use_sh_coeff=use_sh, fused_pack=True,
-                      gather_colors=-1)
+                      gather_colors=-1, pad_rows=int(args.pad_rows))
     table = synthetic_table(n_gauss, focal=focal, scale_px=2.5,
                             use_sh=use_sh, frustum=(0.85, 0.55))
     cams = synthetic_cameras(m_cams, w, h, focal)

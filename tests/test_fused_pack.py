@@ -945,3 +945,90 @@ def test_quant_depth_empty_scene(rng):
     assert int(meta.n_pairs) == 0
     img = rasterize(pk, meta, rspec, use_pallas=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(img), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# shared alignment-pad pool (pad_rows)
+# ---------------------------------------------------------------------------
+
+def test_pad_pool_matches_full(rng):
+    """An adequately sized pool is bit-identical to the full reservation."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    rspec = rspec._replace(channel_major=True)
+    spec_full = _colcap_spec(bspec)
+    a, meta_f = pack_sorted(spec_full, _geom_n(proj, opa), color,
+                            proj.depth, proj.visible)
+    need = int(meta_f.n_pad_used)
+    assert need > 0          # scene has at least one partially filled tile
+    for pool in (need, need + 37):
+        spec_p = spec_full._replace(pad_rows=pool)
+        b, meta_p = pack_sorted(spec_p, _geom_n(proj, opa), color,
+                                proj.depth, proj.visible)
+        assert int(meta_p.n_pad_used) == need
+        assert int(meta_p.n_pad_dropped) == 0
+        img_a = rasterize(a, meta_f, rspec, use_pallas=True, interpret=True)
+        img_b = rasterize(b, meta_p, rspec, use_pallas=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+
+
+@pytest.mark.slow
+def test_pad_pool_grads_match_full(rng):
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=120)
+    rspec = rspec._replace(channel_major=True)
+    spec_full = _colcap_spec(bspec)
+    _, meta_f = pack_sorted(spec_full, _geom_n(proj, opa), color,
+                            proj.depth, proj.visible)
+    spec_p = spec_full._replace(pad_rows=int(meta_f.n_pad_used))
+
+    def loss(spec):
+        def f(mean2d, cov2d, opa_, color_):
+            p = proj._replace(mean2d=mean2d, cov2d=cov2d)
+            pk, mt = pack_sorted(spec, _geom_n(p, opa_), color_,
+                                 p.depth, p.visible)
+            img = rasterize(pk, mt, rspec, use_pallas=True, interpret=True)
+            return jnp.sum(img ** 2)
+        return f
+
+    args = (proj.mean2d, proj.cov2d, opa, color)
+    g1 = jax.grad(loss(spec_full), argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss(spec_p), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g1, g2, ("mean2d", "cov2d", "opa", "color")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5, err_msg=name)
+
+
+@pytest.mark.slow
+def test_pad_pool_overflow_fail_safe(rng):
+    """Pool too small: alignment breaks CASCADE past the first short tile,
+    so every tile from the break renders zero (tile_ok) and the intact
+    prefix is bit-identical to the full-reservation render."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=150)
+    rspec = rspec._replace(channel_major=True)
+    spec_full = _colcap_spec(bspec)
+    a, meta_f = pack_sorted(spec_full, _geom_n(proj, opa), color,
+                            proj.depth, proj.visible)
+    need = int(meta_f.n_pad_used)
+    assert need > 8
+    spec_p = spec_full._replace(pad_rows=need // 2)
+    b, meta_p = pack_sorted(spec_p, _geom_n(proj, opa), color,
+                            proj.depth, proj.visible)
+    assert int(meta_p.n_pad_dropped) == need - need // 2
+    ok_f = np.asarray(meta_f.tile_ok)[:-1]
+    ok_p = np.asarray(meta_p.tile_ok)[:-1]
+    # the ok set shrank to a prefix-of-tiles intersection
+    assert ok_p.sum() < ok_f.sum()
+    assert not np.any(ok_p & ~ok_f)
+    img_a = np.asarray(rasterize(a, meta_f, rspec, use_pallas=True,
+                                 interpret=True))
+    img_b = np.asarray(rasterize(b, meta_p, rspec, use_pallas=True,
+                                 interpret=True))
+    assert np.isfinite(img_b).all()
+    th, tw = rspec.tile_h, rspec.tile_w
+    for t in range(bspec.n_tiles):
+        ty, tx = divmod(t, bspec.n_tile_x)
+        tile_b = img_b[:, ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+        if ok_p[t]:
+            tile_a = img_a[:, ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            np.testing.assert_array_equal(tile_a, tile_b, err_msg=f"tile {t}")
+        else:
+            np.testing.assert_array_equal(tile_b, 0.0, err_msg=f"tile {t}")
