@@ -21,23 +21,25 @@ from gsplat_tpu.synthetic import synthetic_cameras, synthetic_table
 from gsplat_tpu.train import TrainState, adam_update, init_adam, make_loss_fn
 
 
-def build(n_gauss=506_627, w=1297, h=840, focal=1000.0, px_split=0):
+def build(n_gauss=506_627, w=1297, h=840, focal=1000.0, px_split=0,
+          use_sh=False):
     from gsplat_tpu.synthetic import tune_budgets
     from gsplat_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = SplatConfig(use_pallas=True)
+    cfg = SplatConfig(use_pallas=True, use_sh_coeff=use_sh)
     if px_split:
         cfg.px_split = px_split
     tcfg = TrainConfig(ssim_weight=0.1)
     table = synthetic_table(n_gauss, focal=focal, scale_px=2.5,
-                            frustum=(0.85, 0.55))
+                            use_sh=use_sh, frustum=(0.85, 0.55))
     cams = synthetic_cameras(8, w, h, focal)
     grid = cams["grid"]
-    bspec, rspec = make_specs(grid, table.capacity, cfg, 3)
+    c_dim = 27 if use_sh else 3
+    bspec, rspec = make_specs(grid, table.capacity, cfg, c_dim)
     # bench-equivalent tuned budgets so the trace reflects the timed regime
     nv, npair, fills = tune_budgets(cfg, table, cams, grid, bspec)
-    bspec, rspec = make_specs(grid, table.capacity, cfg, 3)
+    bspec, rspec = make_specs(grid, table.capacity, cfg, c_dim)
     print(f"# tuned: n_visible={nv} n_pairs={npair} "
           f"slot_cap={bspec.slot_capacity} NC={bspec.num_chunks}")
     return cfg, tcfg, table, cams, grid, bspec, rspec
@@ -81,7 +83,8 @@ def trace_and_attribute(fn, args, outdir):
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "render"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 506_627
-    cfg, tcfg, table, cams, grid, bspec, rspec = build(n)
+    use_sh = len(sys.argv) > 3 and sys.argv[3] == "sh"
+    cfg, tcfg, table, cams, grid, bspec, rspec = build(n, use_sh=use_sh)
     params, live = table.params(), table.live
     loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, False)
 
