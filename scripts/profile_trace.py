@@ -84,7 +84,14 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "render"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 506_627
     use_sh = len(sys.argv) > 3 and sys.argv[3] == "sh"
+    preset = len(sys.argv) > 3 and sys.argv[3] == "preset"
     cfg, tcfg, table, cams, grid, bspec, rspec = build(n, use_sh=use_sh)
+    if preset:
+        # deployment render route (bench.py preset_ok branch): bf16-packed
+        # payloads, re-specced
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, packed_bf16=True)
+        bspec, rspec = make_specs(grid, table.capacity, cfg, 3)
     params, live = table.params(), table.live
     loss_fn = make_loss_fn(grid, cfg, tcfg, bspec, rspec, False)
 
