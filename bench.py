@@ -97,7 +97,8 @@ def run_bench(args, result):
                       quant_depth=int(args.quant_depth),
                       bf16_pack=int(args.bf16_pack),
                       cull_sublsb=int(args.cull_sublsb),
-                      pad_rows=int(args.pad_rows))
+                      pad_rows=int(args.pad_rows),
+                      post_align=int(args.post_align))
     if args.chunk_size:
         cfg.chunk_size = int(args.chunk_size)
     if args.px_split:
@@ -358,6 +359,9 @@ def main():
                     help="bf16-paired payload-sort operands for both "
                          "directions (-1 auto: on when compatible; 0/1 "
                          "force — 0 benches the all-f32 round-3 route)")
+    ap.add_argument("--post_align", type=int, default=-1,
+                    help="render preset: sort real pairs only + post-sort "
+                         "realign gather (-1 auto = on with packed_bf16)")
     ap.add_argument("--pad_rows", type=int, default=-1,
                     help="shared alignment-pad pool for the payload sort: "
                          "-1 full T*(G-1) reservation, 0 auto-tune from one "

@@ -102,6 +102,16 @@ class SplatConfig:
     # n_pad_dropped reported) and the trainer retunes it like every other
     # static budget.
     pad_rows: int = -1
+    # Post-sort alignment for the render preset (ops/binning post_align):
+    # sort only the real candidate rows (no alignment-pad rows, and the
+    # payload sort's keys replace the separate key-only metadata sort),
+    # then restore chunk alignment with one slot-scale row gather.  At the
+    # Garden preset the real pairs fit lax.sort's 2^20 row bucket while
+    # pairs+pads pay the 2^21 one (PERF.md round-5 trace: paysort 5.65 ms
+    # of a 19.9 ms frame).  packed_bf16-only (render has no backward; the
+    # padded sort IS the train routes' gradient-alignment contract).
+    # -1 = auto (ON whenever packed_bf16 is); 0/1 force.
+    post_align: int = -1
     # Sub-tile early termination: lane-axis split count for the forward
     # kernel's saturation gate (1 = whole-tile gate, 2 = independent
     # 128-lane halves — the CUDA per-pixel break at half-tile granularity)

@@ -194,6 +194,10 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
     qd_flag = int(getattr(cfg, "quant_depth", 0))
     quant_depth = (True if qd_flag == -1 else bool(qd_flag)) and fused \
         and getattr(cfg, "plane_mode", "dense") == "colcap"
+    pa_flag = int(getattr(cfg, "post_align", -1))
+    post_align = (True if pa_flag == -1 else bool(pa_flag)) \
+        and bool(getattr(cfg, "packed_bf16", False)) \
+        and int(cfg.chunk_size) == 128
     bspec = BinningSpec(
         n_tile_x=grid.n_tile_x, n_tile_y=grid.n_tile_y,
         tile_len_x=grid.tile_geo_length_x, tile_len_y=grid.tile_geo_length_y,
@@ -214,6 +218,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         gather_colors=gather_colors,
         gather_geom=gather_geom,
         cull_sublsb=cull_sublsb,
+        post_align=post_align,
     )
     if bspec.packed_bf16 and (bspec.plane_mode != "colcap"
                               or not getattr(cfg, "fused_pack", True)):
@@ -234,6 +239,7 @@ def make_specs(grid: TileGrid, capacity: int, cfg: SplatConfig,
         weight_normalize=cfg.render_weight_normalize,
         channel_major=bool(getattr(cfg, "fused_pack", True)),
         packed_bf16=bspec.packed_bf16,
+        post_align=bspec.post_align,
         color_row_major=bspec.gather_colors,
         geom_row_major=bspec.gather_geom,
         sh_fast_matmul=bspec.bf16_pack and color_dim > 8,

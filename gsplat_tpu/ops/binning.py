@@ -165,6 +165,17 @@ class BinningSpec(NamedTuple):
     # zero via tile_ok, and ``n_pad_dropped``/``n_pad_used`` feed the
     # trainer's budget retunes like every other static budget.
     pad_rows: int = -1
+    # Post-sort alignment (colcap, exclusive with gather_geom's analytic
+    # map): sort ONLY the real candidate rows — no alignment-pad rows ride
+    # the payload sort, and the single stable sort's keys double as the
+    # metadata source, so the separate key-only sort disappears too.  Chunk
+    # alignment is restored AFTER the sort by one slot-scale row gather
+    # (slot s of chunk c reads sorted position starts[t]+s−G·chunk_cum[t],
+    # the same analytic map the gather_geom route uses).  The win is the
+    # sort's power-of-two row bucket: at the Garden preset the real pairs
+    # (1.00M) fit lax.sort's 2^20 bucket while pairs+pads (1.32M) pay the
+    # 2^21 one (PERF.md round-5 trace: paysort 5.65 ms of a 19.9 ms frame).
+    post_align: bool = False
 
     @property
     def n_tiles(self) -> int:
@@ -465,6 +476,10 @@ class PackedMeta(NamedTuple):
     n_chunks_used: jnp.ndarray = None     # () nc_used (slot retune signal)
     n_pad_used: jnp.ndarray = None        # () alignment pads needed
     n_pad_dropped: jnp.ndarray = None     # () pads past the pad_rows pool
+    chunk_src: jnp.ndarray = None         # (NC,) post_align only: first
+                                          # sorted row of each chunk (the
+                                          # raster kernel realigns in-kernel,
+                                          # RasterSpec.post_align)
 
 
 def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
@@ -1006,10 +1021,33 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     # the separate key-only sort AND the padded payload sort disappear
     # (pads were T·(G−1) ≈ 0.4·P dead rows riding every sort operand;
     # slots map to sorted positions analytically, see below)
+    post_align = spec.post_align and not spec.gather_geom
+    if post_align and not spec.packed_bf16:
+        # The realigned slot buffer holds only the candidates that landed in
+        # live slots — NOT a full permutation of [0, P) — so the backward's
+        # rank-slicing inversion (sort cotangents keyed on sorted_flat, then
+        # per-column static slices) would silently misattribute gradients.
+        # packed_bf16 is render-only (its bwd raises), so the preset is the
+        # safe scope; a train extension needs the gather_geom-style
+        # slot_pos route instead.
+        raise ValueError("post_align requires packed_bf16 (render preset): "
+                         "the padded sort IS the backward's alignment "
+                         "contract on the train routes")
     if spec.gather_geom:
         sorted_key, sorted_flat = jax.lax.sort(
             (pair_key, jnp.concatenate(flat_parts)),
             num_keys=1, is_stable=True)
+    elif post_align:
+        # ONE stable payload sort over the real candidates only (no pad
+        # rows): its keys feed the metadata below (replacing the key-only
+        # sort), and chunk alignment is restored post-sort by a slot-scale
+        # row gather.  Stability keeps equal-key (quantized-depth-tie)
+        # candidates in plane order — same determinism contract as the
+        # padded route's stable sort.
+        ops = (pair_key,) + tuple(jnp.concatenate(p) for p in chan_parts)
+        base = 1
+        out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        sorted_key = out[0]
     else:
         sorted_key = jax.lax.sort((pair_key,), num_keys=1,
                                   is_stable=False)[0]
@@ -1045,6 +1083,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                 tile_ok, tuple(jnp.concatenate(p) for p in chan_parts)
                 ), None, None
 
+    chunk_src = None
     if spec.gather_geom:
         # ---- analytic slot map (no pad rows, no second sort) -------------
         # slots are G-aligned per tile by construction, so slot s in chunk c
@@ -1068,6 +1107,21 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                              G * chunk_cum[t_p] + pos_t, S)
         n_pad_used = jnp.zeros((), jnp.int32)     # no pad rows on this route
         n_pad_dropped = jnp.zeros((), jnp.int32)
+    elif post_align:
+        slot_pos = None
+        n_pad_used = jnp.zeros((), jnp.int32)     # no pad rows on this route
+        n_pad_dropped = jnp.zeros((), jnp.int32)
+        if _stop == "paysort":
+            return (out, chunk_len), None, None
+        # ---- sorted-order packed buffers + per-chunk source offsets ------
+        # No slot buffer is materialized at all: the rasterizer's forward
+        # kernel realigns each chunk itself from TWO 128-lane windows of
+        # the sorted payload (RasterSpec.post_align), addressed by
+        # chunk_src = starts[t(c)] + G·chunk_within(c).  The jnp
+        # compositor / oracle path realigns at XLA level instead
+        # (ops/realign.realign_slots_xla) — an XLA gather here cost 6.3 ms
+        # of a 19.9 ms frame (round-5 trace), more than the sort saved.
+        chunk_src = starts[tile_of_chunk] + chunk_within * G     # (NC,)
     else:
         slot_pos = None
         # ---- alignment pads: (-count % G) rows per non-empty tile -------
@@ -1134,9 +1188,28 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
 
     if spec.packed_bf16:
         sorted_flat = jnp.zeros((1,), jnp.int32)  # no backward route
-        geom_pk = jnp.stack([fit(out[base + j]) for j in range(4)], axis=0)
-        colors_pk = jnp.stack(
-            [fit(out[base + 4 + j]) for j in range(n_col_rows)], axis=0)
+        if post_align:
+            # sorted-order buffers, lane-padded so the kernel's second
+            # window ((chunk_src >> 7) + 1) always exists; chunk_src is
+            # clamped into the padded range (dead chunks read arbitrary
+            # windows, masked to no-ops by chunk_len == 0)
+            p_pad = (-(-(P + 1) // G) + 1) * G
+
+            def lanepad(a):
+                return jnp.concatenate(
+                    [a, jnp.zeros((p_pad - P,), a.dtype)])
+
+            geom_pk = jnp.stack(
+                [lanepad(out[base + j]) for j in range(4)], axis=0)
+            colors_pk = jnp.stack(
+                [lanepad(out[base + 4 + j]) for j in range(n_col_rows)],
+                axis=0)
+            chunk_src = jnp.clip(chunk_src, 0, p_pad - 2 * G)
+        else:
+            geom_pk = jnp.stack(
+                [fit(out[base + j]) for j in range(4)], axis=0)
+            colors_pk = jnp.stack(
+                [fit(out[base + 4 + j]) for j in range(n_col_rows)], axis=0)
     else:
         if not spec.gather_geom:
             sorted_flat = out[1]
@@ -1208,6 +1281,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         col_fill=m, n_plane_clipped=n_plane_clipped,
         n_chunks_used=nc_used,
         n_pad_used=n_pad_used, n_pad_dropped=n_pad_dropped,
+        chunk_src=chunk_src,
     )
     return (geom_pk, colors_pk), meta, (sorted_flat, inv_comp, slot_pos)
 

@@ -124,6 +124,14 @@ class RasterSpec(NamedTuple):
     # skipped once its own start-of-chunk transmittance max drops below
     # STOP_THRESH.  Output identical to ulp level (skipped work is all-masked).
     px_split: int = 1
+    # RENDER-ONLY companion of BinningSpec.post_align: the packed buffers
+    # arrive in SORTED order (no alignment-pad rows materialized) and the
+    # forward kernel realigns each chunk itself — two 128-lane windows of
+    # the sorted payload are loaded per chunk via scalar-prefetch-dependent
+    # index maps (meta.chunk_src >> 7 and +1) and combined with a dynamic
+    # roll + lane select.  Requires chunk_size == 128 and packed_bf16.
+    # No backward (the route never builds one — see BinningSpec.post_align).
+    post_align: bool = False
 
     @property
     def px(self) -> int:
@@ -292,6 +300,20 @@ def _unpack_packed(spec: RasterSpec, geom, colarr):
     return g, gc
 
 
+def _realign2(a, b, rot):
+    """Combine two consecutive 128-lane windows into the chunk's block.
+
+    ``a``/``b`` are the (rows, 128) windows at lane offsets 128*q and
+    128*(q+1) of the sorted payload; the chunk's rows start at lane ``rot``
+    of ``a``: out[:, j] = a[:, rot+j] for j < 128-rot else b[:, rot+j-128].
+    One dynamic roll per window + a lane select — the unaligned-copy
+    shuffle, on the VPU, fused into the consuming kernel."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, a.shape[1]), 1)
+    sel = lane < (a.shape[1] - rot)
+    return jnp.where(sel, pltpu.roll(a, a.shape[1] - rot, 1),
+                     pltpu.roll(b, b.shape[1] - rot, 1))
+
+
 def _chunk_colors(spec: RasterSpec, gc, shb):
     """Per-gaussian colors from the (G, c_col) color chunk: 3 arrays of
     (G, 1) or (G, Px)."""
@@ -412,10 +434,15 @@ def chw_to_hwc(img):
 # pallas kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(spec: RasterSpec,
-                meta_ref, shv_ref,
-                geom_ref, col_ref, out_ref,
-                accum_ref, color_ref, accw_ref, shb_ref):
+def _fwd_kernel(spec: RasterSpec, meta_ref, shv_ref, *refs):
+    if spec.post_align:
+        # sorted-payload variant: two 128-lane windows per packed operand
+        # (prefetch-indexed at chunk_src >> 7 and +1), realigned in-kernel
+        (csrc_ref, geom_ref, geom2_ref, col_ref, col2_ref, out_ref,
+         accum_ref, color_ref, accw_ref, shb_ref) = refs
+    else:
+        (geom_ref, col_ref, out_ref,
+         accum_ref, color_ref, accw_ref, shb_ref) = refs
     i = pl.program_id(0)
     meta = meta_ref[i]
     t = meta >> _META_TILE_SHIFT
@@ -440,7 +467,12 @@ def _fwd_kernel(spec: RasterSpec,
     @pl.when(active & (jnp.max(accum_ref[:]) >= STOP_THRESH))
     def _():
         pxc_full, pyc_full = _tile_pixel_coords(spec, t)
-        if spec.packed_bf16:
+        if spec.post_align:
+            rot = csrc_ref[i] & 127
+            g, gc = _unpack_packed(
+                spec, _realign2(geom_ref[:], geom2_ref[:], rot),
+                _realign2(col_ref[:], col2_ref[:], rot))
+        elif spec.packed_bf16:
             g, gc = _unpack_packed(spec, geom_ref[:], col_ref[:])
         else:
             g = geom_ref[:].T if (spec.channel_major
@@ -659,11 +691,28 @@ def _bwd_kernel(spec: RasterSpec,
 
 
 def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
-                       chunk_first, chunk_last, chunk_len, interpret=False):
+                       chunk_first, chunk_last, chunk_len, interpret=False,
+                       chunk_src=None):
     geom, colarr = packed
     nc = chunk_tile.shape[0]
     n_rows = spec.n_tiles + 1
-    if spec.packed_bf16:
+    if spec.post_align:
+        # sorted-order packed buffers: each operand is read through TWO
+        # 128-lane windows whose positions come from the prefetched
+        # chunk_src (>> 7 = window index; & 127 = in-window rotation,
+        # applied by the kernel's _realign2)
+        if spec.chunk_size != 128:
+            raise ValueError("post_align requires chunk_size == 128 "
+                             "(one chunk == one 128-lane window)")
+        lo = lambda i, m, s, c: (0, c[i] >> 7)            # noqa: E731
+        hi = lambda i, m, s, c: (0, (c[i] >> 7) + 1)      # noqa: E731
+        in_specs = [
+            pl.BlockSpec((geom.shape[0], 128), lo),
+            pl.BlockSpec((geom.shape[0], 128), hi),
+            pl.BlockSpec((colarr.shape[0], 128), lo),
+            pl.BlockSpec((colarr.shape[0], 128), hi),
+        ]
+    elif spec.packed_bf16:
         in_specs = [
             pl.BlockSpec((geom.shape[0], spec.chunk_size),
                          lambda i, *_: (0, i)),
@@ -688,7 +737,7 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
                          lambda i, *_: (i, 0)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if spec.post_align else 2,
         grid=(nc,),
         in_specs=in_specs,
         out_specs=[
@@ -707,12 +756,16 @@ def _raster_fwd_pallas(spec: RasterSpec, packed, sh_vecs, chunk_tile,
     ]
     meta = _pack_chunk_meta(spec, chunk_tile, chunk_first, chunk_last,
                             chunk_len)
+    if spec.post_align:
+        args = (meta, sh_vecs, chunk_src, geom, geom, colarr, colarr)
+    else:
+        args = (meta, sh_vecs, geom, colarr)
     [tiles] = pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(meta, sh_vecs, geom, colarr)
+    )(*args)
     # rows 0-2 color, row 3 accumulated weight
     return tiles, tiles[:, 3, :]
 
@@ -826,7 +879,7 @@ _raster_pallas.defvjp(_raster_pallas_fwd, _raster_pallas_bwd)
 
 def composite_chunks_pallas(packed, chunk_tile, chunk_first, chunk_last,
                             chunk_len, spec: RasterSpec, sh_vecs=None,
-                            interpret=False, tile_ok=None):
+                            interpret=False, tile_ok=None, chunk_src=None):
     """Pallas counterpart of :func:`composite_chunks_jnp` (same contract).
 
     ``tile_ok`` ((T+1,) bool) marks tiles whose output rows the forward
@@ -843,9 +896,18 @@ def composite_chunks_pallas(packed, chunk_tile, chunk_first, chunk_last,
              jnp.zeros((1,), jnp.bool_)])
     chunk_first = chunk_first.astype(jnp.int32)
     chunk_last = chunk_last.astype(jnp.int32)
-    tiles_color, accw = _raster_pallas(
-        spec, interpret, packed, sh_vecs, chunk_tile, chunk_first,
-        chunk_last, chunk_len, tile_ok)
+    if spec.post_align:
+        # render-only sorted-payload route: no vjp exists (the packer
+        # already rejects post_align on trainable specs), so the forward
+        # is called directly — autodiff through it fails loudly
+        tiles, accw = _raster_fwd_pallas(
+            spec, packed, sh_vecs, chunk_tile, chunk_first, chunk_last,
+            chunk_len, interpret, chunk_src=chunk_src)
+        tiles_color = tiles[:, :3, :]
+    else:
+        tiles_color, accw = _raster_pallas(
+            spec, interpret, packed, sh_vecs, chunk_tile, chunk_first,
+            chunk_last, chunk_len, tile_ok)
     return (jnp.where(tile_ok[:, None, None], tiles_color, 0.0),
             jnp.where(tile_ok[:, None], accw, 0.0))
 
@@ -853,11 +915,25 @@ def composite_chunks_pallas(packed, chunk_tile, chunk_first, chunk_last,
 def rasterize(packed, binned, spec: RasterSpec, sh_vecs=None,
               use_pallas=True, interpret=False):
     """packed pairs + binning metadata → (padded_h, padded_w, 3) image."""
+    if spec.post_align and not use_pallas:
+        # jnp-compositor adapter: realign the sorted payloads at XLA level
+        # (the fused in-kernel realign is a pallas-only path), then proceed
+        # as the standard aligned packed_bf16 preset
+        from gsplat_tpu.ops.realign import realign_slots_xla
+
+        s = binned.chunk_tile.shape[0] * spec.chunk_size
+        rows = [p[j] for p in packed for j in range(p.shape[0])]
+        aligned = realign_slots_xla(tuple(rows), binned.chunk_src,
+                                    binned.chunk_len, s)
+        g_rows = packed[0].shape[0]
+        packed = (jnp.stack(aligned[:g_rows]), jnp.stack(aligned[g_rows:]))
+        spec = spec._replace(post_align=False)
     if use_pallas:
         tiles_color, tiles_accw = composite_chunks_pallas(
             packed, binned.chunk_tile, binned.chunk_first, binned.chunk_last,
             binned.chunk_len, spec, sh_vecs, interpret=interpret,
-            tile_ok=binned.tile_ok,
+            tile_ok=binned.tile_ok, chunk_src=getattr(binned, "chunk_src",
+                                                      None),
         )
     else:
         tiles_color, tiles_accw = composite_chunks_jnp(

@@ -326,6 +326,57 @@ def test_packed_bf16_sh_render(rng):
     assert psnr > 38, psnr
 
 
+@pytest.mark.parametrize("color_dim", [3, 27])
+def test_post_align_bitwise_matches_padded_sort(rng, color_dim):
+    """post_align (no-pad sort + in-kernel realign) == padded-sort preset.
+
+    Both routes place the same candidates in the same stable (tile,
+    depth-rank, plane) order and mask dead lanes by chunk_len, so the
+    chunk metadata and the rendered images must match BITWISE — on the
+    pallas kernel path (two-window roll/select realign, chunk_size == 128
+    scenes) and on the jnp compositor path (XLA realign adapter)."""
+    proj, opa, color, bspec, rspec = image_space_scene(
+        rng, n=150, color_dim=color_dim)
+    rspec_p = rspec._replace(channel_major=True, packed_bf16=True)
+    spec_p = _colcap_spec(bspec)._replace(packed_bf16=True)
+    spec_a = spec_p._replace(post_align=True)
+    a, ma = pack_sorted(spec_p, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    b, mb = pack_sorted(spec_a, _geom_n(proj, opa), color,
+                        proj.depth, proj.visible)
+    for f_ in ("chunk_tile", "chunk_first", "chunk_last", "chunk_len",
+               "tile_ok", "n_pairs", "n_dropped", "n_chunks_used"):
+        np.testing.assert_array_equal(np.asarray(getattr(ma, f_)),
+                                      np.asarray(getattr(mb, f_)), err_msg=f_)
+    assert int(mb.n_pad_used) == 0 and int(mb.n_pad_dropped) == 0
+    assert mb.chunk_src is not None and ma.chunk_src is None
+    shv = (jnp.asarray(np.random.default_rng(9).normal(0, 0.3, (4, 3)),
+                       jnp.float32) if color_dim == 27 else None)
+    img_a = rasterize(a, ma, rspec_p, sh_vecs=shv, use_pallas=True,
+                      interpret=True)
+    if spec_p.chunk_size == 128:
+        rspec_a = rspec_p._replace(post_align=True)
+        img_b = rasterize(b, mb, rspec_a, sh_vecs=shv, use_pallas=True,
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+    # jnp compositor path: the XLA realign adapter feeds the oracle
+    img_j = rasterize(b, mb, rspec_p._replace(post_align=True),
+                      sh_vecs=shv, use_pallas=False)
+    img_aj = rasterize(a, ma, rspec_p, sh_vecs=shv, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(img_aj), np.asarray(img_j))
+
+
+def test_post_align_requires_packed_bf16(rng):
+    """Train routes must reject post_align: the padded sort is their
+    gradient-alignment contract (realigned slots are not a permutation of
+    the candidate ranks the backward's slice-reduction assumes)."""
+    proj, opa, color, bspec, rspec = image_space_scene(rng, n=40)
+    spec_bad = _colcap_spec(bspec)._replace(post_align=True)
+    with pytest.raises(ValueError, match="post_align"):
+        pack_sorted(spec_bad, _geom_n(proj, opa), color,
+                    proj.depth, proj.visible)
+
+
 # ---------------------------------------------------------------------------
 # gather_colors: wide-color fast path (colors move by one post-sort gather
 # instead of riding the payload sort — the SH sort keeps RGB's 9 operands)
