@@ -176,6 +176,17 @@ class BinningSpec(NamedTuple):
     # (1.00M) fit lax.sort's 2^20 bucket while pairs+pads (1.32M) pay the
     # 2^21 one (PERF.md round-5 trace: paysort 5.65 ms of a 19.9 ms frame).
     post_align: bool = False
+    # RENDER-ONLY u8 color row (requires packed_bf16, RGB, colcap): pack
+    # (r, g, b, opa) as four u8 lanes of ONE i32 sort payload instead of
+    # spreading them over the bf16 pair slots, so the geometry block needs
+    # only 3 bf16-pair rows (x|c, y|d, a|b) and the whole RGB payload sort
+    # is key + 4 operands (vs key + 5).  Sort cost is per-operand on TPU
+    # (PERF.md), so this trims ~1/6 of the payload sort.  Quantization:
+    # colors and opacity at 1/255 steps — the same LSB the reference's
+    # rasterizer already treats as invisible (gaussian.cu's 1/255 alpha
+    # skip), so the preset-vs-f32 PSNR stays in the visually-lossless
+    # regime (bench reports it per run).
+    u8_rgbo: bool = False
 
     @property
     def n_tiles(self) -> int:
@@ -346,9 +357,8 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
         (pair_tile, pair_orig, flat), num_keys=1, is_stable=True)
 
     # ---- 4. per-tile segments + chunk metadata (all at NC scale) -------
-    starts = jnp.searchsorted(sorted_tile,
-                              jnp.arange(T + 1, dtype=jnp.int32)
-                              ).astype(jnp.int32)                # (T+1,)
+    starts = _searchsorted_2level(sorted_tile,
+                                  jnp.arange(T + 1, dtype=jnp.int32))
     counts = jnp.diff(starts)                                    # (T,)
     # Empty tiles still get one (all-dead) chunk so the rasterizer writes
     # zeros into their output rows — pallas out blocks are never pre-zeroed.
@@ -366,8 +376,7 @@ def bin_gaussians(proj: ProjectedGaussians, spec: BinningSpec) -> BinnedPairs:
 
     cids = jnp.arange(NC, dtype=jnp.int32)
     tile_of_chunk = jnp.clip(
-        jnp.searchsorted(chunk_cum, cids, side="right") - 1, 0, T - 1
-    ).astype(jnp.int32)
+        _count_le_small(chunk_cum, cids) - 1, 0, T - 1).astype(jnp.int32)
     chunk_used = cids < nc_used
     chunk_tile = jnp.where(chunk_used, tile_of_chunk, T)
     chunk_within = cids - chunk_cum[tile_of_chunk]
@@ -534,9 +543,8 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
 
     # ---- key-only sort → per-tile counts + chunk metadata ---------------
     sorted_key = jax.lax.sort((pair_tile,), num_keys=1, is_stable=False)[0]
-    starts = jnp.searchsorted(sorted_key,
-                              jnp.arange(T + 1, dtype=jnp.int32)
-                              ).astype(jnp.int32)
+    starts = _searchsorted_2level(sorted_key,
+                                  jnp.arange(T + 1, dtype=jnp.int32))
     counts = jnp.diff(starts)                              # (T,)
     nchunk_t = (counts + G - 1) // G                       # 0 for empty tiles
     chunk_cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
@@ -548,8 +556,7 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
 
     cids = jnp.arange(NC, dtype=jnp.int32)
     tile_of_chunk = jnp.clip(
-        jnp.searchsorted(chunk_cum, cids, side="right") - 1, 0, T - 1
-    ).astype(jnp.int32)
+        _count_le_small(chunk_cum, cids) - 1, 0, T - 1).astype(jnp.int32)
     chunk_used = cids < nc_used
     chunk_tile = jnp.where(chunk_used, tile_of_chunk, T)
     chunk_within = cids - chunk_cum[tile_of_chunk]
@@ -620,6 +627,49 @@ def _pack_sorted_impl(spec: BinningSpec, geom_n, color_n, depth, visible):
     return (geom_s, colors_s), meta, (sorted_flat, inv_order, None)
 
 
+def _searchsorted_2level(sorted_arr, queries):
+    """Exact ``jnp.searchsorted(sorted_arr, queries)`` (side='left') for i32
+    data, without XLA's serialized binary-search while loop.
+
+    jnp.searchsorted lowers to a ~log2(P)-step ``while`` of tiny gathers —
+    1.5 ms of the render frame at Garden scale (round-5 trace: while.13/14).
+    This computes the same insertion points in two fused passes:
+
+    1. window level: split the array into 128-lane windows; a window lies
+       entirely below a query iff its tail < q (one (Q, P/128)
+       compare-reduce, fused by XLA);
+    2. in-window level: ONE contiguous row gather of each query's boundary
+       window + a (Q, 128) compare-reduce.
+
+    Sortedness gives exactness: windows past the boundary have every
+    element >= tail(boundary) >= q, windows before it every element <= a
+    tail < q, so count(< q) = 128 * n_full + in_row.
+    """
+    w = 128
+    p = sorted_arr.shape[0]
+    nw = -(-p // w)
+    pad = nw * w - p
+    if pad:
+        fill = jnp.full((pad,), jnp.iinfo(sorted_arr.dtype).max,
+                        sorted_arr.dtype)
+        sorted_arr = jnp.concatenate([sorted_arr, fill])
+    rows = sorted_arr.reshape(nw, w)
+    tails = rows[:, -1]
+    n_full = jnp.sum(tails[None, :] < queries[:, None],
+                     axis=1).astype(jnp.int32)                    # (Q,)
+    brow = jnp.take(rows, jnp.minimum(n_full, nw - 1), axis=0)    # (Q, w)
+    in_row = jnp.sum(brow < queries[:, None], axis=1).astype(jnp.int32)
+    return jnp.minimum(n_full * w + in_row, p).astype(jnp.int32)
+
+
+def _count_le_small(sorted_small, queries):
+    """``jnp.searchsorted(sorted_small, queries, side='right')`` as one
+    broadcast compare-reduce (#(a <= q)) — for arrays small enough that a
+    (Q, len) compare fuses cheaply (chunk_cum is (T+1,) ~ 4k)."""
+    return jnp.sum(sorted_small[None, :] <= queries[:, None],
+                   axis=1).astype(jnp.int32)
+
+
 def _rank_bits_shift(n_tiles: int, v: int):
     """Composite-key layout: key = (tile << rb) | (depth_rank >> shift).
 
@@ -660,6 +710,27 @@ def _unpack2(packed):
             x.astype(jnp.int16), jnp.bfloat16).astype(jnp.float32)
 
     return tofp(hi), tofp(lo)
+
+
+def _pack_u8x4(r, g, b, o):
+    """Four f32 arrays in [0, 1] → one i32 with u8 lanes (r | g<<8 | b<<16
+    | o<<24).  round-to-nearest at 1/255 steps; values are clamped."""
+    def q(x):
+        return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.int32)
+
+    return q(r) | jnp.left_shift(q(g), 8) | jnp.left_shift(q(b), 16) \
+        | jnp.left_shift(q(o), 24)
+
+
+def unpack_u8x4(packed):
+    """i32 u8-lane array → (r, g, b, o) f32 in [0, 1] (inverse of
+    :func:`_pack_u8x4`).  Masks after the shift so the sign-filled high
+    bits of an arithmetic shift never leak into the low byte."""
+    def u(sh):
+        return ((jax.lax.shift_right_logical(packed, sh) & jnp.int32(0xFF))
+                .astype(jnp.float32) * jnp.float32(1.0 / 255.0))
+
+    return u(0), u(8), u(16), u(24)
 
 
 def _pack_color_cols(color_n):
@@ -886,13 +957,22 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     # ---- per-column candidate slices ------------------------------------
     c_pad = -c_cols % 8
     c8 = c_cols + c_pad
+    if spec.u8_rgbo and not (spec.packed_bf16 and c_cols == 3):
+        raise ValueError("u8_rgbo requires the packed_bf16 RGB render "
+                         "preset (SH coefficients are logits, not [0,1] "
+                         "channel values)")
     if spec.packed_bf16:
         # payload rows: geom (x|c, y|d, a|opa, b|blue) + colors (r|g) for
         # RGB — the blue channel rides the geometry block's free lo slot,
         # so the whole RGB render sort is key + 5 payloads; SH keeps pairs
         # of coefficients (j | j+c8/2).  Positions go tile-relative so bf16
-        # keeps sub-pixel accuracy.
-        n_geo_rows, n_col_rows = 4, (1 if c_cols == 3 else c8 // 2)
+        # keeps sub-pixel accuracy.  With u8_rgbo the geometry block is
+        # (x|c, y|d, a|b) and (r, g, b, opa) share ONE u8-lane i32 row:
+        # key + 4 payloads total.
+        if spec.u8_rgbo:
+            n_geo_rows, n_col_rows = 3, 1
+        else:
+            n_geo_rows, n_col_rows = 4, (1 if c_cols == 3 else c8 // 2)
     elif spec.bf16_pack:
         # train-capable packed payloads: x, y stay f32; (a|b), (c|d) i32;
         # then (opa, color...) channels paired into i32 rows
@@ -972,15 +1052,27 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                                   + 0.5) * spec.tile_len_y
             zero = jnp.zeros((cpk,), jnp.float32)
             rgb = c_cols == 3
-            hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
-                  geom_t[2, :cpk], geom_t[3, :cpk]]
-            lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[6, :cpk],
-                  color_t[2, :cpk] if rgb else zero]
-            rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
-            if rgb:
+            if spec.u8_rgbo:
+                hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
+                      geom_t[2, :cpk]]
+                lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[3, :cpk]]
+                rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
+                rows.append(_pack_u8x4(color_t[0, :cpk], color_t[1, :cpk],
+                                       color_t[2, :cpk], geom_t[6, :cpk]))
+            elif rgb:
+                hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
+                      geom_t[2, :cpk], geom_t[3, :cpk]]
+                lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[6, :cpk],
+                      color_t[2, :cpk]]
+                rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
                 rows.append(_pack2_bf16(color_t[0, :cpk],
                                         color_t[1, :cpk]))
             else:
+                hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
+                      geom_t[2, :cpk], geom_t[3, :cpk]]
+                lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[6, :cpk],
+                      zero]
+                rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
                 half = c8 // 2
                 ccol = [color_t[j, :cpk] if j < c_cols else zero
                         for j in range(c8)]
@@ -1055,7 +1147,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
         return (pair_key, sorted_key,
                 tuple(jnp.concatenate(p) for p in chan_parts)), None, None
     bounds = jnp.left_shift(jnp.arange(T + 1, dtype=jnp.int32), rb)
-    starts = jnp.searchsorted(sorted_key, bounds).astype(jnp.int32)
+    starts = _searchsorted_2level(sorted_key, bounds)
     counts = jnp.diff(starts)                              # (T,)
     nchunk_t = (counts + G - 1) // G
     chunk_cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
@@ -1067,8 +1159,7 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
 
     cids = jnp.arange(NC, dtype=jnp.int32)
     tile_of_chunk = jnp.clip(
-        jnp.searchsorted(chunk_cum, cids, side="right") - 1, 0, T - 1
-    ).astype(jnp.int32)
+        _count_le_small(chunk_cum, cids) - 1, 0, T - 1).astype(jnp.int32)
     chunk_used = cids < nc_used
     chunk_tile = jnp.where(chunk_used, tile_of_chunk, T)
     chunk_within = cids - chunk_cum[tile_of_chunk]
@@ -1200,16 +1291,18 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                     [a, jnp.zeros((p_pad - P,), a.dtype)])
 
             geom_pk = jnp.stack(
-                [lanepad(out[base + j]) for j in range(4)], axis=0)
+                [lanepad(out[base + j]) for j in range(n_geo_rows)], axis=0)
             colors_pk = jnp.stack(
-                [lanepad(out[base + 4 + j]) for j in range(n_col_rows)],
+                [lanepad(out[base + n_geo_rows + j])
+                 for j in range(n_col_rows)],
                 axis=0)
             chunk_src = jnp.clip(chunk_src, 0, p_pad - 2 * G)
         else:
             geom_pk = jnp.stack(
-                [fit(out[base + j]) for j in range(4)], axis=0)
+                [fit(out[base + j]) for j in range(n_geo_rows)], axis=0)
             colors_pk = jnp.stack(
-                [fit(out[base + 4 + j]) for j in range(n_col_rows)], axis=0)
+                [fit(out[base + n_geo_rows + j])
+                 for j in range(n_col_rows)], axis=0)
     else:
         if not spec.gather_geom:
             sorted_flat = out[1]

@@ -1083,3 +1083,26 @@ def test_pad_pool_overflow_fail_safe(rng):
             np.testing.assert_array_equal(tile_a, tile_b, err_msg=f"tile {t}")
         else:
             np.testing.assert_array_equal(tile_b, 0.0, err_msg=f"tile {t}")
+
+
+def test_searchsorted_2level_exact(rng):
+    """_searchsorted_2level / _count_le_small == jnp.searchsorted on random
+    and edge inputs (empty prefix, all-equal runs, sentinel tail, pad)."""
+    import numpy as np
+
+    from gsplat_tpu.ops.binning import _count_le_small, _searchsorted_2level
+
+    for p in (1, 5, 127, 128, 129, 1000, 4096 + 17):
+        a = np.sort(rng.integers(0, 50, size=p).astype(np.int32))
+        a[-1] = np.iinfo(np.int32).max  # sentinel tail like pair keys
+        q = np.concatenate([
+            np.arange(-2, 53, dtype=np.int32),
+            np.array([np.iinfo(np.int32).max], np.int32)])
+        want = np.searchsorted(a, q, side="left")
+        got = np.asarray(_searchsorted_2level(jnp.asarray(a),
+                                              jnp.asarray(q)))
+        np.testing.assert_array_equal(got, want)
+        want_r = np.searchsorted(a[:200], q, side="right")
+        got_r = np.asarray(_count_le_small(jnp.asarray(a[:200]),
+                                           jnp.asarray(q)))
+        np.testing.assert_array_equal(got_r, want_r)
