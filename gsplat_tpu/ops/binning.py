@@ -176,17 +176,6 @@ class BinningSpec(NamedTuple):
     # (1.00M) fit lax.sort's 2^20 bucket while pairs+pads (1.32M) pay the
     # 2^21 one (PERF.md round-5 trace: paysort 5.65 ms of a 19.9 ms frame).
     post_align: bool = False
-    # RENDER-ONLY u8 color row (requires packed_bf16, RGB, colcap): pack
-    # (r, g, b, opa) as four u8 lanes of ONE i32 sort payload instead of
-    # spreading them over the bf16 pair slots, so the geometry block needs
-    # only 3 bf16-pair rows (x|c, y|d, a|b) and the whole RGB payload sort
-    # is key + 4 operands (vs key + 5).  Sort cost is per-operand on TPU
-    # (PERF.md), so this trims ~1/6 of the payload sort.  Quantization:
-    # colors and opacity at 1/255 steps — the same LSB the reference's
-    # rasterizer already treats as invisible (gaussian.cu's 1/255 alpha
-    # skip), so the preset-vs-f32 PSNR stays in the visually-lossless
-    # regime (bench reports it per run).
-    u8_rgbo: bool = False
 
     @property
     def n_tiles(self) -> int:
@@ -712,27 +701,6 @@ def _unpack2(packed):
     return tofp(hi), tofp(lo)
 
 
-def _pack_u8x4(r, g, b, o):
-    """Four f32 arrays in [0, 1] → one i32 with u8 lanes (r | g<<8 | b<<16
-    | o<<24).  round-to-nearest at 1/255 steps; values are clamped."""
-    def q(x):
-        return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.int32)
-
-    return q(r) | jnp.left_shift(q(g), 8) | jnp.left_shift(q(b), 16) \
-        | jnp.left_shift(q(o), 24)
-
-
-def unpack_u8x4(packed):
-    """i32 u8-lane array → (r, g, b, o) f32 in [0, 1] (inverse of
-    :func:`_pack_u8x4`).  Masks after the shift so the sign-filled high
-    bits of an arithmetic shift never leak into the low byte."""
-    def u(sh):
-        return ((jax.lax.shift_right_logical(packed, sh) & jnp.int32(0xFF))
-                .astype(jnp.float32) * jnp.float32(1.0 / 255.0))
-
-    return u(0), u(8), u(16), u(24)
-
-
 def _pack_color_cols(color_n):
     """(N, c) f32 → (N, ceil(c/2)) i32 of bf16 pairs (j | half+j).
 
@@ -957,22 +925,16 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
     # ---- per-column candidate slices ------------------------------------
     c_pad = -c_cols % 8
     c8 = c_cols + c_pad
-    if spec.u8_rgbo and not (spec.packed_bf16 and c_cols == 3):
-        raise ValueError("u8_rgbo requires the packed_bf16 RGB render "
-                         "preset (SH coefficients are logits, not [0,1] "
-                         "channel values)")
     if spec.packed_bf16:
         # payload rows: geom (x|c, y|d, a|opa, b|blue) + colors (r|g) for
         # RGB — the blue channel rides the geometry block's free lo slot,
         # so the whole RGB render sort is key + 5 payloads; SH keeps pairs
         # of coefficients (j | j+c8/2).  Positions go tile-relative so bf16
-        # keeps sub-pixel accuracy.  With u8_rgbo the geometry block is
-        # (x|c, y|d, a|b) and (r, g, b, opa) share ONE u8-lane i32 row:
-        # key + 4 payloads total.
-        if spec.u8_rgbo:
-            n_geo_rows, n_col_rows = 3, 1
-        else:
-            n_geo_rows, n_col_rows = 4, (1 if c_cols == 3 else c8 // 2)
+        # keeps sub-pixel accuracy.  (A key+4 variant packing r/g/b/opa as
+        # u8 lanes of one i32 row measured 17% SLOWER at bench occupancy —
+        # the quantize/pack feeding the sort serialized against it, PERF.md
+        # round-5 — so the 5-payload layout is the keeper.)
+        n_geo_rows, n_col_rows = 4, (1 if c_cols == 3 else c8 // 2)
     elif spec.bf16_pack:
         # train-capable packed payloads: x, y stay f32; (a|b), (c|d) i32;
         # then (opa, color...) channels paired into i32 rows
@@ -1052,27 +1014,15 @@ def _pack_sorted_colcap_impl(spec: BinningSpec, geom_n, color_n, depth,
                                   + 0.5) * spec.tile_len_y
             zero = jnp.zeros((cpk,), jnp.float32)
             rgb = c_cols == 3
-            if spec.u8_rgbo:
-                hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
-                      geom_t[2, :cpk]]
-                lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[3, :cpk]]
-                rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
-                rows.append(_pack_u8x4(color_t[0, :cpk], color_t[1, :cpk],
-                                       color_t[2, :cpk], geom_t[6, :cpk]))
-            elif rgb:
-                hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
-                      geom_t[2, :cpk], geom_t[3, :cpk]]
-                lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[6, :cpk],
-                      color_t[2, :cpk]]
-                rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
+            hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
+                  geom_t[2, :cpk], geom_t[3, :cpk]]
+            lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[6, :cpk],
+                  color_t[2, :cpk] if rgb else zero]
+            rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
+            if rgb:
                 rows.append(_pack2_bf16(color_t[0, :cpk],
                                         color_t[1, :cpk]))
             else:
-                hi = [geom_t[0, :cpk] - tcx, geom_t[1, :cpk] - tcy,
-                      geom_t[2, :cpk], geom_t[3, :cpk]]
-                lo = [geom_t[4, :cpk], geom_t[5, :cpk], geom_t[6, :cpk],
-                      zero]
-                rows = [_pack2_bf16(h, l) for h, l in zip(hi, lo)]
                 half = c8 // 2
                 ccol = [color_t[j, :cpk] if j < c_cols else zero
                         for j in range(c8)]
